@@ -1,0 +1,16 @@
+"""Cone oracle library.
+
+Each cone is a static spec object with pure-functional oracles (see
+`hypatia_tpu.cones.base.Cone`). Parity target: the 23 predefined cones of the
+reference (`src/Cones/Cones.jl:294-310` include list).
+"""
+
+from hypatia_tpu.cones.base import Cone
+from hypatia_tpu.cones.nonnegative import Nonnegative
+from hypatia_tpu.cones.epinormeucl import EpiNormEucl
+
+__all__ = [
+    "Cone",
+    "Nonnegative",
+    "EpiNormEucl",
+]

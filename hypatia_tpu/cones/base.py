@@ -1,0 +1,182 @@
+"""Functional cone-oracle protocol.
+
+A cone instance is a *static* Python object (hashable problem structure); all
+oracles are pure functions of device arrays, suitable for jit/vmap.  This
+replaces the reference's mutable-cache OOP design (`src/Cones/Cones.jl:27-310`,
+lazy `feas_updated`/`grad_updated`/... flags) with an explicit per-point
+auxiliary pytree: ``aux = cone.point_aux(s)`` is computed once per point and
+threaded into the oracles, and XLA CSE removes any remaining duplication
+inside a jitted step.
+
+Default oracle implementations are derived from the barrier function by
+automatic differentiation — the TPU-native analog of the reference's
+ForwardDiff-validated oracles (`test/cone.jl:117-150` uses AD as the gold
+standard; here AD *is* the default implementation, with closed forms layered
+on top for performance):
+
+- ``grad = ∇F``                    via ``jax.grad``
+- ``hess_prod = ∇²F · v``          via jvp-of-grad (no materialization)
+- ``inv_hess_prod``                via materialized ∇²F + Cholesky
+- ``dder3(d) = -½ ∇³F[d,d]``       via jvp-of-hvp
+
+dder3 convention check (LHSCB with parameter ν): ``dder3(s) = -∇F(s)`` and
+``⟨dder3(d), s⟩ = dᵀ ∇²F(s) d`` — the identities asserted by the reference
+test suite (`test/cone.jl:105-111`).
+
+Conventions for the solver layer (matches `src/Solvers/search.jl:118-133`):
+oracles are evaluated at the √μ-scaled primal point ``s/√μ``, so that
+``H(s/√μ) = μ·H(s)`` provides the μ-scaling of the 6×6 KKT system implicitly.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hypatia_tpu.ops import linalg
+
+
+class Cone:
+    """Base cone. Subclasses define `dim`, `nu`, `barrier`, `feas`,
+    `init_point` and optionally closed-form oracle overrides."""
+
+    #: True if this cone's barrier is for the dual cone (oracles are then
+    #: applied to the z view instead of the s view; `src/Cones/Cones.jl:138`).
+    use_dual: bool = False
+
+    #: whether the third-order oracle is available (`use_dder3`)
+    has_dder3: bool = True
+
+    #: whether sqrt_hess_prod / inv_sqrt_hess_prod are implemented
+    has_sqrt_oracles: bool = False
+
+    def __init__(self, dim: int, use_dual: bool = False):
+        self.dim = int(dim)
+        self.use_dual = bool(use_dual)
+
+    # -- static structure --------------------------------------------------
+
+    @property
+    def nu(self):
+        raise NotImplementedError
+
+    def init_point(self) -> np.ndarray:
+        """Initial interior point on/near the central ray."""
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"{type(self).__name__}(dim={self.dim}" + (
+            ", use_dual=True)" if self.use_dual else ")"
+        )
+
+    # -- core oracle: the barrier itself -----------------------------------
+
+    def barrier(self, s):
+        """Logarithmically homogeneous self-concordant barrier F(s)."""
+        raise NotImplementedError
+
+    def feas(self, s):
+        """Strict feasibility of s for the (barrier) cone interior."""
+        raise NotImplementedError
+
+    def dual_feas(self, z):
+        """False only if z is certainly outside the dual-cone interior.
+
+        Default true, like `src/Cones/Cones.jl:63`.
+        """
+        return jnp.asarray(True)
+
+    # -- per-point auxiliary state -----------------------------------------
+
+    def point_aux(self, s):
+        """Pure function of the (scaled) primal point computed once per point.
+
+        Default materializes the Hessian and its shifted-Cholesky factor,
+        which the default `inv_hess_prod`/`sqrt` oracles consume — the
+        functional analog of `update_hess_fact` (`src/Cones/Cones.jl:239-251`).
+        Subclasses with closed-form inverse Hessians override this to return
+        cheaper state (or an empty dict).
+        """
+        H = self.hess(s, aux=None)
+        L, ok = linalg.cholesky_shifted(H)
+        return {"hess": H, "hess_chol": L, "hess_chol_ok": ok}
+
+    # -- first/second/third order oracles ----------------------------------
+
+    def grad(self, s, aux=None):
+        return jax.grad(self.barrier)(s)
+
+    def hess_prod(self, s, arr, aux=None):
+        """∇²F(s) @ arr for arr of shape (dim,) or (dim, m)."""
+        if arr.ndim == 1:
+            return jax.jvp(jax.grad(self.barrier), (s,), (arr,))[1]
+        hvp = lambda v: jax.jvp(jax.grad(self.barrier), (s,), (v,))[1]
+        return jax.vmap(hvp, in_axes=1, out_axes=1)(arr)
+
+    def hess(self, s, aux=None):
+        if aux is not None and "hess" in aux:
+            return aux["hess"]
+        return jax.jacfwd(jax.grad(self.barrier))(s)
+
+    def inv_hess_prod(self, s, arr, aux=None):
+        if aux is None or "hess_chol" not in aux:
+            aux = self.point_aux(s)
+        L = aux["hess_chol"]
+        if arr.ndim == 1:
+            return linalg.cho_solve(L, arr[:, None])[:, 0]
+        return linalg.cho_solve(L, arr)
+
+    def inv_hess(self, s, aux=None):
+        eye = jnp.eye(self.dim, dtype=s.dtype)
+        return self.inv_hess_prod(s, eye, aux)
+
+    def sqrt_hess_prod(self, s, arr, aux=None):
+        """Uᵀ... reference uses U from H = UᵀU (upper Cholesky): prod = U @ arr
+        (`src/Cones/Cones.jl:189-206`). With lower L (H = L Lᵀ), U = Lᵀ."""
+        if aux is None or "hess_chol" not in aux:
+            aux = self.point_aux(s)
+        L = aux["hess_chol"]
+        a = arr[:, None] if arr.ndim == 1 else arr
+        out = L.T @ a
+        return out[:, 0] if arr.ndim == 1 else out
+
+    def inv_sqrt_hess_prod(self, s, arr, aux=None):
+        if aux is None or "hess_chol" not in aux:
+            aux = self.point_aux(s)
+        L = aux["hess_chol"]
+        a = arr[:, None] if arr.ndim == 1 else arr
+        out = linalg.solve_tri(L.T, a, lower=False, trans=True)
+        return out[:, 0] if arr.ndim == 1 else out
+
+    def dder3(self, s, d, aux=None):
+        """-½ ∇³F(s)[d, d] (vector)."""
+        hvp_at = lambda x: self.hess_prod(x, d, aux=None)
+        return -0.5 * jax.jvp(hvp_at, (s,), (d,))[1]
+
+    # -- solver-facing helpers ---------------------------------------------
+
+    def get_proxsqr(self, s, z, irtmu, aux=None, use_max_prox=True):
+        """Squared proximity ‖z·irtmu + g‖²_{H⁻¹} at scaled point s
+        (`src/Cones/Cones.jl:294-310`). s is the √μ-scaled primal point."""
+        g = self.grad(s, aux)
+        psi = irtmu * z + g
+        Hipsi = self.inv_hess_prod(s, psi, aux)
+        prox = jnp.dot(Hipsi, psi)
+        negtol = jnp.sqrt(jnp.finfo(s.dtype).eps)
+        bad = prox < -negtol * self.dim
+        return jnp.where(bad, jnp.inf, jnp.abs(prox))
+
+    def check_numerics(self, s, z, aux=None):
+        """LHSCB identity guards ⟨g,s⟩=-ν and ⟨H⁻¹g,g⟩=ν
+        (`src/Cones/Cones.jl:273-290`)."""
+        dt = s.dtype
+        eps = jnp.finfo(dt).eps
+        gtol = jnp.sqrt(jnp.sqrt(eps))
+        Htol = 10 * jnp.sqrt(gtol)
+        g = self.grad(s, aux)
+        nu = self.nu
+        ok1 = jnp.abs(1 + jnp.dot(g, s) / nu) <= gtol * self.dim
+        Hig = self.inv_hess_prod(s, g, aux)
+        ok2 = jnp.abs(1 - jnp.dot(Hig, g) / nu) <= Htol * self.dim
+        return ok1 & ok2

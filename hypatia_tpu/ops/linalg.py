@@ -1,0 +1,80 @@
+"""Dense linear-algebra building blocks for the TPU compute path.
+
+TPU/XLA supports f64 cholesky, eigh, qr and matmul, but NOT f64 LU
+(LuDecomposition is f32-only), so:
+
+- SPD solves go through Cholesky with an escalating diagonal-shift recovery,
+  the functional analog of the reference's factorization fallback chain
+  Cholesky -> Bunch-Kaufman -> shifted (`src/linearalgebra/dense.jl:194-215`).
+- General square solves (naive/symindef system solvers) go through QR.
+
+All functions are pure and jit/vmap friendly; failure is propagated as NaN and
+handled by `where`-style masking in callers.
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+
+def solve_tri(L, B, lower=True, trans=False):
+    """Triangular solve wrapper (unit_diagonal=False)."""
+    return jsl.solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
+
+
+def chol_ok(L):
+    """True if a Cholesky factor is finite (factorization succeeded)."""
+    return jnp.all(jnp.isfinite(L))
+
+
+def cholesky_shifted(A, num_tries: int = 4):
+    """Cholesky of symmetric A with escalating diagonal shift on failure.
+
+    Returns (L, ok). Mirrors `posdef_fact_copy!` recovery
+    (`src/linearalgebra/dense.jl:194-215`): on factorization failure, retry
+    with ``A + shift*I`` for escalating shifts.
+    """
+    d = A.shape[-1]
+    eps = jnp.finfo(A.dtype).eps
+    diag_max = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A))), 1.0)
+
+    def try_shift(carry, i):
+        L, ok = carry
+        shift = jnp.where(i == 0, 0.0, diag_max * eps * (100.0 ** i.astype(A.dtype)))
+        Ls = jnp.linalg.cholesky(A + shift * jnp.eye(d, dtype=A.dtype))
+        oks = chol_ok(Ls)
+        take = (~ok) & oks
+        L = jnp.where(take, Ls, L)
+        ok = ok | oks
+        return (L, ok), None
+
+    init = (jnp.full_like(A, jnp.nan), jnp.asarray(False))
+    (L, ok), _ = jax.lax.scan(try_shift, init, jnp.arange(num_tries))
+    return L, ok
+
+
+def cho_solve(L, B):
+    """Solve A X = B given lower Cholesky factor L of A."""
+    Y = solve_tri(L, B, lower=True, trans=False)
+    return solve_tri(L, Y, lower=True, trans=True)
+
+
+def posdef_solve(A, B, num_tries: int = 4):
+    """Solve SPD system A X = B with shifted-Cholesky recovery."""
+    L, ok = cholesky_shifted(A, num_tries)
+    return cho_solve(L, B), ok
+
+
+def qr_solve(A, b):
+    """Solve general square A x = b via QR (f64-safe on TPU; no LU needed)."""
+    Q, R = jnp.linalg.qr(A)
+    return solve_tri(R, Q.T @ b, lower=False)
+
+
+def sym_solve(A, b):
+    """Solve symmetric (possibly indefinite) A x = b.
+
+    Uses QR on TPU-compatible path (no f64 LU / Bunch-Kaufman on TPU). The
+    reference uses LAPACK sytrf (`src/linearalgebra/dense.jl:36-44`).
+    """
+    return qr_solve(A, b)

@@ -1,0 +1,349 @@
+"""KKT system solvers (functional, on-device).
+
+The 6x6 nonsymmetric HSDE system in (x, y, z, tau, s, kap)
+(`src/Solvers/systemsolvers/common.jl:4-11`):
+
+    A'*y + G'*z + c*tau           = xrhs
+    -A*x + b*tau                  = yrhs
+    -G*x + h*tau - s              = zrhs
+    -c'*x - b'*y - h'*z - kap     = taurhs
+    (pr) z_k + mu*H_k*s_k         = srhs_k     [mu*H = H at the scaled point]
+    (du) mu*H_k*z_k + s_k         = srhs_k
+    mu/tau_bar^2*tau + kap        = kaprhs
+
+Three strategies (reference hierarchy `naive.jl` / `symindef.jl` /
+`qrchol.jl`), all reduced to TPU-supported factorizations:
+
+- ``naive``:    full 6x6 dense solve via QR (validation baseline; the
+                reference uses LAPACK LU, which has no f64 TPU path).
+- ``symindef``: eliminate s, kap, tau -> 3x3 symmetric indefinite
+                [0 A' G'; A 0 0; G 0 -Hbar], solved via QR.
+- ``qrchol``:   default/performance path; further reduce to the
+                (n-p)x(n-p) SPD Schur complement GQ2' Hbar GQ2 and a dense
+                Cholesky (cf. CVXOPT S10.3; `qrchol.jl:5-9`). All heavy ops
+                are MXU matmuls + one Cholesky per iteration.
+
+The 6->4->3 lifting (two-RHS trick for tau) follows
+`systemsolvers/common.jl:129-211`.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from hypatia_tpu.ops import linalg
+from hypatia_tpu.solvers.structures import (
+    block_hess_prod,
+    blockwise,
+    cone_view,
+    point_vec,
+    primal_dual_views,
+    zero_point,
+)
+
+
+# ---------------------------------------------------------------------------
+# 6x6 residual operator (for iterative refinement)
+# ---------------------------------------------------------------------------
+
+
+def apply_lhs(ctx, data, iter_aux, direc):
+    """Compute LHS*dir for the 6x6 system (`systemsolvers/common.jl:79-121`)."""
+    A, G, c, b, h = data["A"], data["G"], data["c"], data["b"], data["h"]
+    tau_dir, kap_dir = direc["tau"], direc["kap"]
+
+    res_x = c * tau_dir + G.T @ direc["z"]
+    if ctx.p > 0:
+        res_x = res_x + A.T @ direc["y"]
+        res_y = b * tau_dir - A @ direc["x"]
+    else:
+        res_y = jnp.zeros(0, dtype=ctx.dtype)
+    res_z = h * tau_dir - direc["s"] - G @ direc["x"]
+    res_tau = -jnp.dot(c, direc["x"]) - jnp.dot(h, direc["z"]) - kap_dir
+    if ctx.p > 0:
+        res_tau = res_tau - jnp.dot(b, direc["y"])
+
+    # s rows: H_k(primal_dir_k) + dual_dir_k at the scaled point
+    res_s = jnp.zeros(ctx.q, dtype=ctx.dtype)
+    for k, cone in enumerate(ctx.cones):
+        pd_k, dd_k = primal_dual_views(ctx, direc["z"], direc["s"], k)
+        Hpd = cone.hess_prod(iter_aux["s_scals"][k], pd_k, iter_aux["auxes"][k])
+        start, dim = ctx.cone_idxs[k]
+        res_s = res_s.at[start:start + dim].set(Hpd + dd_k)
+
+    tau = iter_aux["tau"]
+    res_kap = iter_aux["mu"] / tau * tau_dir / tau + kap_dir
+
+    return {"x": res_x, "y": res_y, "z": res_z, "s": res_s,
+            "tau": res_tau, "kap": res_kap}
+
+
+# ---------------------------------------------------------------------------
+# update_lhs: per-iteration factorizations + constant-RHS solution
+# ---------------------------------------------------------------------------
+
+
+def update_lhs(ctx, data, iter_aux):
+    """Build/factor the reduced LHS and solve the constant (-c, b, h) system
+    used by the tau lift (`common.jl:154-208`, `qrchol.jl:181-197`)."""
+    sys = {}
+    if ctx.syssolver == "qrchol":
+        GQ2 = data["GQ2"]
+        # Schur complement: sum_k GQ2_k' Hbar_k GQ2_k  (`qrchol.jl:219-246`)
+        HGQ2 = jnp.zeros_like(GQ2)
+        for k in range(len(ctx.cones)):
+            start, dim = ctx.cone_idxs[k]
+            Hk = block_hess_prod(ctx, iter_aux, k, GQ2[start:start + dim, :])
+            HGQ2 = HGQ2.at[start:start + dim, :].set(Hk)
+        lhs = GQ2.T @ HGQ2
+        lhs = (lhs + lhs.T) / 2
+        L, ok = linalg.cholesky_shifted(lhs)
+        sys["schur_chol"] = L
+        sys["schur_ok"] = ok
+    elif ctx.syssolver == "symindef":
+        npq = ctx.n + ctx.p + ctx.q
+        A, G = data["A"], data["G"]
+        lhs = jnp.zeros((npq, npq), dtype=ctx.dtype)
+        lhs = lhs.at[ctx.n:ctx.n + ctx.p, :ctx.n].set(A)
+        lhs = lhs.at[:ctx.n, ctx.n:ctx.n + ctx.p].set(A.T)
+        lhs = lhs.at[ctx.n + ctx.p:, :ctx.n].set(G)
+        lhs = lhs.at[:ctx.n, ctx.n + ctx.p:].set(G.T)
+        zs = ctx.n + ctx.p
+        for k, cone in enumerate(ctx.cones):
+            start, dim = ctx.cone_idxs[k]
+            s_scal = iter_aux["s_scals"][k]
+            aux = iter_aux["auxes"][k]
+            Hk = cone.hess(s_scal, aux) if cone.use_dual else cone.inv_hess(s_scal, aux)
+            lhs = lhs.at[zs + start:zs + start + dim,
+                         zs + start:zs + start + dim].set(-Hk)
+        Q, R = jnp.linalg.qr(lhs)
+        sys["qr_q"], sys["qr_r"] = Q, R
+    elif ctx.syssolver == "naive":
+        sys["lhs6"] = _naive_lhs6(ctx, data, iter_aux)
+        Q, R = jnp.linalg.qr(sys["lhs6"])
+        sys["qr_q"], sys["qr_r"] = Q, R
+    else:
+        raise ValueError(ctx.syssolver)
+
+    if ctx.syssolver in ("qrchol", "symindef"):
+        # constant-RHS 3x3 solve for the tau lift
+        if ctx.syssolver == "qrchol":
+            rhs_const_z = blockwise(
+                ctx, iter_aux, data["h"],
+                lambda k, hk: block_hess_prod(ctx, iter_aux, k, hk))
+        else:
+            rhs_const_z = data["h"]
+        sol_const = solve_subsystem3(
+            ctx, data, iter_aux, sys, -data["c"], data["b"], rhs_const_z)
+        sys["sol_const"] = sol_const
+    return sys
+
+
+def _naive_lhs6(ctx, data, iter_aux):
+    """Materialize the full 6x6 LHS (`naive.jl:144-216` semantics)."""
+    n, p, q = ctx.n, ctx.p, ctx.q
+    A, G, c, b, h = data["A"], data["G"], data["c"], data["b"], data["h"]
+    dim = n + p + q + 1 + q + 1
+    xs, ys, zs = 0, n, n + p
+    ts = n + p + q
+    ss = ts + 1
+    ks = ss + q
+    M = jnp.zeros((dim, dim), dtype=ctx.dtype)
+    # x-row: A'y + G'z + c*tau
+    M = M.at[xs:ys, ys:zs].set(A.T)
+    M = M.at[xs:ys, zs:ts].set(G.T)
+    M = M.at[xs:ys, ts].set(c)
+    # y-row: -A x + b*tau
+    M = M.at[ys:zs, xs:ys].set(-A)
+    M = M.at[ys:zs, ts].set(b)
+    # z-row: -G x + h*tau - s
+    M = M.at[zs:ts, xs:ys].set(-G)
+    M = M.at[zs:ts, ts].set(h)
+    M = M.at[zs:ts, ss:ks].set(-jnp.eye(q, dtype=ctx.dtype))
+    # tau-row: -c'x - b'y - h'z - kap
+    M = M.at[ts, xs:ys].set(-c)
+    M = M.at[ts, ys:zs].set(-b)
+    M = M.at[ts, zs:ts].set(-h)
+    M = M.at[ts, ks].set(-1.0)
+    # s-rows
+    for k, cone in enumerate(ctx.cones):
+        start, dimk = ctx.cone_idxs[k]
+        H = cone.hess(iter_aux["s_scals"][k], iter_aux["auxes"][k])
+        r0 = ss + start
+        eye = jnp.eye(dimk, dtype=ctx.dtype)
+        if cone.use_dual:
+            # mu*H_k*z_k + s_k
+            M = M.at[r0:r0 + dimk, zs + start:zs + start + dimk].set(H)
+            M = M.at[r0:r0 + dimk, ss + start:ss + start + dimk].set(eye)
+        else:
+            # z_k + mu*H_k*s_k
+            M = M.at[r0:r0 + dimk, zs + start:zs + start + dimk].set(eye)
+            M = M.at[r0:r0 + dimk, ss + start:ss + start + dimk].set(H)
+    # kap-row: mu/tau^2 * tau + kap
+    tau = iter_aux["tau"]
+    M = M.at[ks, ts].set(iter_aux["mu"] / tau / tau)
+    M = M.at[ks, ks].set(1.0)
+    return M
+
+
+# ---------------------------------------------------------------------------
+# 3x3 solve
+# ---------------------------------------------------------------------------
+
+
+def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
+    """Solve the reduced 3x3 system; rhs already transformed per-strategy.
+
+    qrchol: `qrchol.jl:39-85`.  symindef: dense QR solve of the assembled
+    symmetric-indefinite matrix.
+    Returns (x, y, z).
+    """
+    if ctx.syssolver == "symindef":
+        rhs = jnp.concatenate([rx, ry, rz])
+        sol = linalg.solve_tri(
+            sys["qr_r"], sys["qr_q"].T @ rhs, lower=False)
+        x = sol[:ctx.n]
+        y = sol[ctx.n:ctx.n + ctx.p]
+        z = sol[ctx.n + ctx.p:]
+        return x, y, z
+
+    assert ctx.syssolver == "qrchol"
+    G = data["G"]
+    p = ctx.p
+    Qb = rx + G.T @ rz
+    if p > 0:
+        Qb = data["Ap_Q"].T @ Qb
+        # y block: R'^-1 ry goes into the first p coords of the Q-basis x
+        yq = linalg.solve_tri(data["Ap_R"].T, ry, lower=True)
+        GQ1y = data["GQ1"] @ yq
+        HGQ1y = blockwise(
+            ctx, iter_aux, GQ1y,
+            lambda k, v: block_hess_prod(ctx, iter_aux, k, v))
+        Q2div = Qb[p:] - data["GQ2"].T @ HGQ1y
+    else:
+        Q2div = Qb
+    x2 = linalg.cho_solve(sys["schur_chol"], Q2div[:, None])[:, 0]
+    if p > 0:
+        xq = jnp.concatenate([yq, x2])
+        x = data["Ap_Q"] @ xq
+    else:
+        x = x2
+    Gx = G @ x
+    HGx = blockwise(ctx, iter_aux, Gx,
+                    lambda k, v: block_hess_prod(ctx, iter_aux, k, v))
+    z = HGx - rz
+    if p > 0:
+        y = linalg.solve_tri(data["Ap_R"], Qb[:p] - data["GQ1"].T @ HGx,
+                             lower=False)
+    else:
+        y = jnp.zeros(0, dtype=ctx.dtype)
+    return x, y, z
+
+
+# ---------------------------------------------------------------------------
+# full 6-dim solve with lifts
+# ---------------------------------------------------------------------------
+
+
+def solve_system(ctx, data, iter_aux, sys, rhs):
+    """Solve the 6x6 system for a direction (`common.jl:129-182`)."""
+    if ctx.syssolver == "naive":
+        r6 = point_vec(rhs)
+        sol = linalg.solve_tri(sys["qr_r"], sys["qr_q"].T @ r6, lower=False)
+        n, p, q = ctx.n, ctx.p, ctx.q
+        ts = n + p + q
+        return {"x": sol[:n], "y": sol[n:n + p], "z": sol[n + p:ts],
+                "tau": sol[ts], "s": sol[ts + 1:ts + 1 + q],
+                "kap": sol[ts + 1 + q]}
+
+    # setup 3x3 rhs (setup_rhs3; strategy-dependent z transform)
+    rx = rhs["x"]
+    ry = -rhs["y"]
+    rz3 = jnp.zeros(ctx.q, dtype=ctx.dtype)
+    for k, cone in enumerate(ctx.cones):
+        start, dim = ctx.cone_idxs[k]
+        rz_k = rhs["z"][start:start + dim]
+        rs_k = rhs["s"][start:start + dim]
+        s_scal = iter_aux["s_scals"][k]
+        aux = iter_aux["auxes"][k]
+        if ctx.syssolver == "qrchol":
+            # `qrchol.jl:16-36`
+            if cone.use_dual:
+                val = cone.inv_hess_prod(s_scal, -rz_k - rs_k, aux)
+            else:
+                val = -cone.hess_prod(s_scal, rz_k, aux) - rs_k
+        else:
+            # `symindef.jl:34-57`
+            if cone.use_dual:
+                val = -rz_k - rs_k
+            else:
+                val = -cone.inv_hess_prod(s_scal, rs_k, aux) - rz_k
+        rz3 = rz3.at[start:start + dim].set(val)
+
+    x_sub, y_sub, z_sub = solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz3)
+
+    # lift tau via the two-RHS trick (`common.jl:154-182`)
+    xc, yc, zc = sys["sol_const"]
+    c, b, h = data["c"], data["b"], data["h"]
+    dot_obj = lambda x, y, z: (jnp.dot(c, x) + jnp.dot(b, y) + jnp.dot(h, z))
+    tau_bar = iter_aux["tau"]
+    tau_num = rhs["tau"] + rhs["kap"] + dot_obj(x_sub, y_sub, z_sub)
+    tau_denom = iter_aux["mu"] / tau_bar / tau_bar - dot_obj(xc, yc, zc)
+    sol_tau = tau_num / tau_denom
+
+    x = x_sub + sol_tau * xc
+    y = y_sub + sol_tau * yc
+    z = z_sub + sol_tau * zc
+
+    # lift s and kap (`common.jl:142-148`)
+    s = h * sol_tau - rhs["z"] - data["G"] @ x
+    kap = -iter_aux["mu"] / tau_bar / tau_bar * sol_tau + rhs["kap"]
+
+    return {"x": x, "y": y, "z": z, "s": s, "tau": sol_tau, "kap": kap}
+
+
+# ---------------------------------------------------------------------------
+# direction computation with iterative refinement
+# ---------------------------------------------------------------------------
+
+
+def get_directions(ctx, data, iter_aux, sys, rhs, res_norm_cutoff,
+                   min_impr_tol=0.5):
+    """Solve for a direction with up to max_ref_steps refinement solves
+    (`systemsolvers/common.jl:15-76`). Returns (dir, res_norm)."""
+    direc = solve_system(ctx, data, iter_aux, sys, rhs)
+    if ctx.max_ref_steps == 0:
+        return direc, jnp.zeros((), dtype=ctx.dtype)
+
+    def residual(d):
+        res = apply_lhs(ctx, data, iter_aux, d)
+        return jax.tree_util.tree_map(lambda r, t: r - t, res, rhs)
+
+    res = residual(direc)
+    res_norm = jnp.max(jnp.abs(point_vec(res)))
+
+    def cond(carry):
+        best, res, res_norm, prev_norm, prev_slow, i, active = carry
+        return active & (i < ctx.max_ref_steps) & (res_norm > res_norm_cutoff)
+
+    def body(carry):
+        best, res, res_norm, prev_norm, prev_slow, i, active = carry
+        corr = solve_system(ctx, data, iter_aux, sys, res)
+        cand = jax.tree_util.tree_map(lambda bb, cc: bb - cc, best, corr)
+        res_new = residual(cand)
+        res_norm_new = jnp.max(jnp.abs(point_vec(res_new)))
+        improved = res_norm_new < res_norm
+        # on no improvement: keep best, stop
+        best2 = jax.tree_util.tree_map(
+            lambda cc, bb: jnp.where(improved, cc, bb), cand, best)
+        res2 = jax.tree_util.tree_map(
+            lambda rn, rr: jnp.where(improved, rn, rr), res_new, res)
+        res_norm2 = jnp.where(improved, res_norm_new, res_norm)
+        curr_slow = res_norm2 > min_impr_tol * prev_norm
+        # stop if not improved, or below cutoff, or two consecutive slow
+        stop = (~improved) | (res_norm2 < res_norm_cutoff) | (prev_slow & curr_slow)
+        return (best2, res2, res_norm2, res_norm2, curr_slow, i + 1, ~stop)
+
+    carry = (direc, res, res_norm, res_norm, jnp.asarray(False),
+             jnp.asarray(0), res_norm > res_norm_cutoff)
+    best, _, res_norm, _, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    return best, res_norm

@@ -1,0 +1,144 @@
+"""Native-interface solver integration tests.
+
+Parity with `test/nativeinstances.jl`: tiny conic programs with known optima,
+asserting the full conic certificate (`nativeinstances.jl:57-78`):
+obj match, A x = b, G x + s = h, G'z + A'y = -c, s'z = 0.
+"""
+
+import numpy as np
+import pytest
+
+from hypatia_tpu import Model, Solver, cones
+
+
+def build_solve_check(c, A, b, G, h, cone_list, tol=1e-7, obj_offset=0.0,
+                      expect_status="Optimal", expect_obj=None, **opts):
+    model = Model(c, A, b, G, h, cone_list, obj_offset=obj_offset)
+    solver = Solver(**opts)
+    solver.load(model)
+    solver.solve()
+    assert solver.get_status() == expect_status, (
+        f"status {solver.get_status()} != {expect_status}")
+    if expect_status != "Optimal":
+        return solver
+    pobj = solver.get_primal_obj()
+    dobj = solver.get_dual_obj()
+    assert abs(pobj - dobj) <= tol * (1 + abs(pobj) + abs(dobj))
+    if expect_obj is not None:
+        assert abs(pobj - expect_obj) <= tol * (1 + abs(expect_obj))
+    x, y, z, s = (solver.get_x(), solver.get_y(), solver.get_z(),
+                  solver.get_s())
+    c, b, h = (np.asarray(c, dtype=float).ravel(),
+               np.asarray(b, dtype=float).ravel(),
+               np.asarray(h, dtype=float).ravel())
+    A = np.asarray(A, dtype=float).reshape(len(b), len(c))
+    G = np.asarray(G, dtype=float).reshape(len(h), len(c))
+    # certificate checks
+    assert np.allclose(A @ x, b, atol=10 * tol, rtol=10 * tol)
+    assert np.allclose(G @ x + s, h, atol=10 * tol, rtol=10 * tol)
+    assert np.allclose(G.T @ z + A.T @ y, -c, atol=10 * tol, rtol=10 * tol)
+    assert abs(float(s @ z)) <= 100 * tol * (1 + abs(pobj))
+    return solver
+
+
+ALL_CONFIGS = [
+    dict(syssolver="qrchol", reduce=True),
+    dict(syssolver="qrchol", reduce=False),
+    dict(syssolver="symindef", preprocess=False, reduce=False),
+    dict(syssolver="naive", preprocess=False, reduce=False),
+    dict(syssolver="qrchol", stepper="predorcent"),
+    dict(syssolver="qrchol", stepper="predorcent", use_adjustment=False,
+         use_curve_search=False),
+    dict(syssolver="qrchol", use_adjustment=False),
+]
+
+
+@pytest.mark.parametrize("opts", ALL_CONFIGS,
+                         ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()))
+def test_lp_small(opts):
+    """min -x1 - x2  s.t. x1 + x2 = 1, x >= 0; opt = -1."""
+    c = [-1.0, -1.0]
+    A = [[1.0, 1.0]]
+    b = [1.0]
+    G = -np.eye(2)
+    h = [0.0, 0.0]
+    build_solve_check(c, A, b, G, h, [cones.Nonnegative(2)],
+                      expect_obj=-1.0, **opts)
+
+
+@pytest.mark.parametrize("opts", ALL_CONFIGS,
+                         ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()))
+def test_lp_random(opts):
+    """Random feasible LP like `examples/linearopt/native.jl`."""
+    rng = np.random.default_rng(1)
+    m, n = 8, 16
+    A = 10 * rng.random((m, n))
+    b = A.sum(axis=1)
+    c = rng.random(n)
+    G = -np.eye(n)
+    h = np.zeros(n)
+    s1 = build_solve_check(c, A, b, G, h, [cones.Nonnegative(n)], **opts)
+    # cross-validate objective against scipy linprog
+    import scipy.optimize
+    res = scipy.optimize.linprog(c, A_eq=A, b_eq=b, bounds=(0, None))
+    assert abs(s1.get_primal_obj() - res.fun) < 1e-6 * (1 + abs(res.fun))
+
+
+@pytest.mark.parametrize("opts", ALL_CONFIGS[:3],
+                         ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()))
+def test_socp_small(opts):
+    """min u s.t. u >= ||(x-1, 2)||, x = 0 -> opt = sqrt(5)."""
+    # vars (u, x); SOC constraint h - Gx = (u, x-1, 2) in K_soc
+    c = [1.0, 0.0]
+    A = [[0.0, 1.0]]
+    b = [0.0]
+    G = [[-1.0, 0.0], [0.0, -1.0], [0.0, 0.0]]
+    h = [0.0, -1.0, 2.0]
+    build_solve_check(c, A, b, G, h, [cones.EpiNormEucl(3)],
+                      expect_obj=np.sqrt(5.0), **opts)
+
+
+def test_infeasible_lp():
+    """x >= 0, x1 + x2 = -1 is primal infeasible."""
+    c = [1.0, 1.0]
+    A = [[1.0, 1.0]]
+    b = [-1.0]
+    G = -np.eye(2)
+    h = [0.0, 0.0]
+    build_solve_check(c, A, b, G, h, [cones.Nonnegative(2)],
+                      expect_status="PrimalInfeasible")
+
+
+def test_dual_infeasible_lp():
+    """min -x with x >= 0 only (unbounded below) is dual infeasible."""
+    c = [-1.0]
+    A = np.zeros((0, 1))
+    b = np.zeros(0)
+    G = [[-1.0]]
+    h = [0.0]
+    build_solve_check(c, A, b, G, h, [cones.Nonnegative(1)],
+                      expect_status="DualInfeasible")
+
+
+def test_dependent_equalities():
+    """Duplicated equality rows are dropped by preprocessing
+    (`nativesets.jl:5-10` inst_preproc)."""
+    c = [-1.0, -1.0]
+    A = [[1.0, 1.0], [1.0, 1.0]]
+    b = [1.0, 1.0]
+    G = -np.eye(2)
+    h = [0.0, 0.0]
+    build_solve_check(c, A, b, G, h, [cones.Nonnegative(2)], expect_obj=-1.0)
+
+
+def test_inconsistent_equalities():
+    c = [-1.0, -1.0]
+    A = [[1.0, 1.0], [1.0, 1.0]]
+    b = [1.0, 2.0]
+    G = -np.eye(2)
+    h = [0.0, 0.0]
+    model = Model(c, A, b, G, h, [cones.Nonnegative(2)])
+    solver = Solver()
+    solver.load(model)
+    solver.solve()
+    assert solver.get_status() == "PrimalInconsistent"
