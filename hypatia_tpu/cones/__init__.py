@@ -8,9 +8,25 @@ reference (`src/Cones/Cones.jl:294-310` include list).
 from hypatia_tpu.cones.base import Cone
 from hypatia_tpu.cones.nonnegative import Nonnegative
 from hypatia_tpu.cones.epinormeucl import EpiNormEucl
+from hypatia_tpu.cones.vector_cones import (
+    EpiPerSquare,
+    EpiNormInf,
+    GeneralizedPower,
+    HypoGeoMean,
+    HypoPowerMean,
+    HypoPerLog,
+    EpiRelEntropy,
+)
 
 __all__ = [
     "Cone",
     "Nonnegative",
     "EpiNormEucl",
+    "EpiPerSquare",
+    "EpiNormInf",
+    "GeneralizedPower",
+    "HypoGeoMean",
+    "HypoPowerMean",
+    "HypoPerLog",
+    "EpiRelEntropy",
 ]

@@ -23,6 +23,20 @@ def oracle_cones():
         cones.Nonnegative(5),
         cones.EpiNormEucl(2),
         cones.EpiNormEucl(5),
+        cones.EpiPerSquare(3),
+        cones.EpiPerSquare(6),
+        cones.EpiNormInf(4),
+        cones.EpiNormInf(4, use_dual=True),
+        cones.GeneralizedPower([0.25, 0.75], 2),
+        cones.GeneralizedPower([0.5, 0.5], 3, use_dual=True),
+        cones.HypoGeoMean(4),
+        cones.HypoGeoMean(3, use_dual=True),
+        cones.HypoPowerMean([0.2, 0.3, 0.5]),
+        cones.HypoPowerMean([0.5, 0.5], use_dual=True),
+        cones.HypoPerLog(5),
+        cones.HypoPerLog(4, use_dual=True),
+        cones.EpiRelEntropy(7),
+        cones.EpiRelEntropy(5, use_dual=True),
     ]
 
 

@@ -1,0 +1,125 @@
+"""Native instances for the vector cone zoo.
+
+Tiny hand-checkable problems per cone with known optima (parity with the
+per-cone instance functions in `test/nativeinstances.jl`).
+"""
+
+import numpy as np
+import pytest
+
+from hypatia_tpu import cones
+from tests.test_native import build_solve_check
+
+
+def test_epipersquare():
+    """min u s.t. (u, 1, w0) in RSOC -> u* = ||w0||^2 / 2."""
+    w0 = np.array([1.5, -0.5])
+    c = [1.0]
+    A = np.zeros((0, 1))
+    b = np.zeros(0)
+    G = np.array([[-1.0], [0.0], [0.0], [0.0]])
+    h = np.concatenate([[0.0, 1.0], w0])
+    build_solve_check(c, A, b, G, h, [cones.EpiPerSquare(4)],
+                      expect_obj=float(w0 @ w0) / 2)
+
+
+def test_epinorminf_primal():
+    """min u s.t. w = w0 -> u* = ||w0||_inf."""
+    w0 = np.array([0.4, -1.2, 0.7])
+    c = [1.0]
+    G = np.vstack([[-1.0, 0, 0, 0]]).T.reshape(4, 1) * 0
+    G = np.zeros((4, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0], w0])
+    build_solve_check(c, np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.EpiNormInf(4)], expect_obj=1.2)
+
+
+def test_epinorminf_dual():
+    """min u s.t. w = w0, over dual cone (l1 epigraph) -> u* = ||w0||_1."""
+    w0 = np.array([0.4, -1.2, 0.7])
+    G = np.zeros((4, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0], w0])
+    build_solve_check([1.0], np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.EpiNormInf(4, use_dual=True)],
+                      expect_obj=float(np.abs(w0).sum()))
+
+
+def test_generalizedpower():
+    """max w s.t. (u0, w) in power cone -> w* = prod u0^alpha."""
+    alpha = [0.3, 0.7]
+    u0 = np.array([2.0, 1.5])
+    c = [-1.0]
+    G = np.zeros((3, 1))
+    G[2, 0] = -1.0
+    h = np.concatenate([u0, [0.0]])
+    opt = float(np.prod(u0 ** np.asarray(alpha)))
+    build_solve_check(c, np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.GeneralizedPower(alpha, 1)], expect_obj=-opt)
+
+
+def test_hypogeomean():
+    """max u s.t. w = w0 -> u* = geomean(w0)."""
+    w0 = np.array([1.0, 2.0, 4.0])
+    c = [-1.0]
+    G = np.zeros((4, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0], w0])
+    build_solve_check(c, np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.HypoGeoMean(4)], expect_obj=-2.0)
+
+
+def test_hypopowermean():
+    """max u s.t. w = w0 -> u* = prod w0^alpha."""
+    alpha = [0.25, 0.75]
+    w0 = np.array([4.0, 1.0])
+    c = [-1.0]
+    G = np.zeros((3, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0], w0])
+    opt = float(np.prod(w0 ** np.asarray(alpha)))
+    build_solve_check(c, np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.HypoPowerMean(alpha)], expect_obj=-opt)
+
+
+def test_hypoperlog():
+    """max u s.t. v = 1, w = w0 -> u* = sum log(w0)."""
+    w0 = np.array([2.0, 3.0])
+    c = [-1.0]
+    G = np.zeros((4, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0, 1.0], w0])
+    build_solve_check(c, np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.HypoPerLog(4)],
+                      expect_obj=-float(np.log(w0).sum()))
+
+
+def test_epirelentropy():
+    """min u s.t. v = v0, w = w0 -> u* = sum w0 log(w0/v0)."""
+    v0 = np.array([1.0, 2.0])
+    w0 = np.array([2.0, 1.5])
+    c = [1.0]
+    G = np.zeros((5, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0], v0, w0])
+    opt = float(np.sum(w0 * np.log(w0 / v0)))
+    build_solve_check(c, np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.EpiRelEntropy(5)], expect_obj=opt)
+
+
+def test_mixed_cones():
+    """LP + SOC + geomean in one model: max geomean(w) s.t. sum w = 3,
+    w >= 0 -> w* = 1, obj 1."""
+    n = 3
+    c = np.concatenate([[-1.0], np.zeros(n)])  # vars (t, w)
+    A = np.concatenate([[0.0], np.ones(n)])[None, :]
+    b = [3.0]
+    G = np.zeros((1 + n + n, 1 + n))
+    G[0, 0] = -1.0
+    G[1:1 + n, 1:] = -np.eye(n)     # geomean w part
+    G[1 + n:, 1:] = -np.eye(n)      # nonneg w
+    h = np.zeros(1 + 2 * n)
+    build_solve_check(c, A, b, G, h,
+                      [cones.HypoGeoMean(1 + n), cones.Nonnegative(n)],
+                      expect_obj=-1.0)
