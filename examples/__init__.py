@@ -1,0 +1,18 @@
+"""Example problem generators and benchmark harness.
+
+Parity targets: the reference `examples/` tree (37 families; see SURVEY.md
+§2.7). Each module exposes `build(**params) -> Model` and a list of
+`MINIMAL`/`FAST` instance parameter dicts used by tests and benchmarks,
+mirroring the reference's `*_test.jl` instance sets.
+"""
+
+from examples import linearopt, portfolio, doptimaldesign, polymin, relentrentanglement
+from examples.common import run_instance
+
+FAMILIES = {
+    "linearopt": linearopt,
+    "portfolio": portfolio,
+    "doptimaldesign": doptimaldesign,
+    "polymin": polymin,
+    "relentrentanglement": relentrentanglement,
+}

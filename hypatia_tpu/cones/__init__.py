@@ -8,6 +8,25 @@ reference (`src/Cones/Cones.jl:294-310` include list).
 from hypatia_tpu.cones.base import Cone
 from hypatia_tpu.cones.nonnegative import Nonnegative
 from hypatia_tpu.cones.epinormeucl import EpiNormEucl
+from hypatia_tpu.cones.matrix_cones import (
+    PosSemidefTri,
+    DoublyNonnegativeTri,
+    LinMatrixIneq,
+    HypoRootdetTri,
+    HypoPerLogdetTri,
+    EpiNormSpectral,
+    MatrixEpiPerSquare,
+)
+from hypatia_tpu.cones.wsos import WSOSInterpNonnegative
+from hypatia_tpu.cones.sepspectral_matrix import EpiPerSepSpectralMatrix
+from hypatia_tpu.cones.epitrrelentropy import EpiTrRelEntropyTri
+from hypatia_tpu.cones.sepspectral import (
+    EpiPerSepSpectralVector,
+    InvSSF,
+    NegLogSSF,
+    NegEntropySSF,
+    Power12SSF,
+)
 from hypatia_tpu.cones.vector_cones import (
     EpiPerSquare,
     EpiNormInf,
@@ -29,4 +48,19 @@ __all__ = [
     "HypoPowerMean",
     "HypoPerLog",
     "EpiRelEntropy",
+    "PosSemidefTri",
+    "DoublyNonnegativeTri",
+    "LinMatrixIneq",
+    "HypoRootdetTri",
+    "HypoPerLogdetTri",
+    "EpiNormSpectral",
+    "MatrixEpiPerSquare",
+    "WSOSInterpNonnegative",
+    "EpiPerSepSpectralVector",
+    "EpiPerSepSpectralMatrix",
+    "EpiTrRelEntropyTri",
+    "InvSSF",
+    "NegLogSSF",
+    "NegEntropySSF",
+    "Power12SSF",
 ]

@@ -1,0 +1,268 @@
+"""Quantum (trace) relative entropy cone.
+
+(u, V, W): u >= tr(W log W - W log V), V, W PSD; layout (u, svec V, svec W);
+nu = 2d + 1.  Barrier -log(u - tr(W log W - W log V)) - logdet V - logdet W.
+
+Parity: `src/Cones/epitrrelentropytri.jl` (double eigendecomposition +
+first/second divided-difference tensors).  Oracles use the stable zeta-form
+block elimination: only the well-conditioned
+
+    Mw = hess(phi) + hess(xi)/zeta
+
+over (svec V, svec W) is factored, assembled from Daleckii-Krein formulas:
+- WW block:   Dlog(W) Hadamard pattern in W's eigenbasis
+- VW block:   -Dlog(V) (same operator both cross blocks)
+- VV block:   -(second divided differences of log at eig(V), weighted by W)
+
+The third-order oracle is deferred (has_dder3=False): the stepper skips the
+third-order adjustment for this cone (`use_dder3` semantics,
+`src/Cones/Cones.jl:120-127`).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hypatia_tpu.cones.base import Cone
+from hypatia_tpu.cones.centralray import solve_central_ray
+from hypatia_tpu.ops import linalg, spectral
+from hypatia_tpu.ops.svec import (
+    smat_to_svec, svec_to_smat, herm_to_svec, svec_to_herm, svec_length,
+    svec_side, _svec_indices, _herm_svec_indices,
+)
+
+
+def _eps(x):
+    return jnp.finfo(jnp.float64).eps
+
+
+def _log_fdd1(lam):
+    return spectral.fdd1(jnp.log(lam), 1.0 / lam, lam)
+
+
+def _log_fdd2(lam):
+    return spectral.fdd2_tensor(jnp.log(lam), 1.0 / lam, -lam**-2.0, lam)
+
+
+class EpiTrRelEntropyTri(Cone):
+    has_dder3 = False  # third-order oracle deferred
+
+    def __init__(self, dim: int, is_complex: bool = False,
+                 use_dual: bool = False):
+        super().__init__(dim, use_dual)
+        self.is_complex = bool(is_complex)
+        w_len = (dim - 1) // 2
+        assert 2 * w_len + 1 == dim
+        self.w_len = w_len
+        if is_complex:
+            self.side = int(round(np.sqrt(w_len)))
+            assert self.side**2 == w_len
+        else:
+            self.side = svec_side(w_len)
+        self.d = self.side
+
+    @property
+    def nu(self):
+        return 2 * self.d + 1
+
+    def _smat(self, v):
+        return svec_to_herm(v) if self.is_complex else svec_to_smat(v)
+
+    def _svec(self, W):
+        return herm_to_svec(W) if self.is_complex else smat_to_svec(W)
+
+    def _diag_idxs(self):
+        if self.is_complex:
+            kind, _, _ = _herm_svec_indices(self.side)
+            return np.nonzero(kind == 0)[0]
+        _, _, is_diag = _svec_indices(self.side)
+        return np.nonzero(is_diag)[0]
+
+    def _pack_sym(self, M):
+        if self.is_complex:
+            kind, rows, cols = _herm_svec_indices(self.side)
+            return M[rows, cols]
+        rows, cols, _ = _svec_indices(self.side)
+        return M[rows, cols]
+
+    def _split(self, s):
+        n = self.w_len
+        return s[0], s[1:1 + n], s[1 + n:]
+
+    # -- barrier & feasibility ---------------------------------------------
+
+    def _xi(self, V, W):
+        lw = jnp.linalg.eigvalsh(W)
+        lv, Qv = jnp.linalg.eigh(V)
+        Wv = Qv.conj().T @ W @ Qv
+        tr_WlogV = jnp.sum(jnp.real(jnp.diagonal(Wv)) * jnp.log(lv))
+        return jnp.sum(lw * jnp.log(lw)) - tr_WlogV
+
+    def barrier(self, s):
+        u, v, w = self._split(s)
+        V, W = self._smat(v), self._smat(w)
+        lv = jnp.linalg.eigvalsh(V)
+        lw = jnp.linalg.eigvalsh(W)
+        zeta = u - self._xi(V, W)
+        return (-jnp.log(zeta) - jnp.sum(jnp.log(lv))
+                - jnp.sum(jnp.log(lw)))
+
+    def feas(self, s):
+        u, v, w = self._split(s)
+        V, W = self._smat(v), self._smat(w)
+        lv = jnp.linalg.eigvalsh(V)
+        lw = jnp.linalg.eigvalsh(W)
+        ok = jnp.all(lv > _eps(s)) & jnp.all(lw > _eps(s))
+        Vs = jnp.where(ok, V, jnp.eye(self.side, dtype=V.dtype))
+        Ws = jnp.where(ok, W, jnp.eye(self.side, dtype=W.dtype))
+        return ok & (u - self._xi(Vs, Ws) > _eps(s))
+
+    def init_point(self):
+        red = self._central_ray()
+        pt = np.zeros(self.dim)
+        pt[0] = red[0]
+        diag = self._diag_idxs()
+        pt[1 + diag] = red[1]
+        pt[1 + self.w_len + diag] = red[2]
+        return pt
+
+    @functools.lru_cache(maxsize=None)
+    def _central_ray(self):
+        # diagonal restriction: the barrier over (u, diag a, diag b) is the
+        # vector trace-relative-entropy barrier; per-coordinate expansion
+        # gives the correct full-space central-ray condition
+        d = self.d
+
+        def barrier_vec(s):
+            u, a, b = s[0], s[1:1 + d], s[1 + d:]
+            zeta = u - jnp.sum(b * jnp.log(b) - b * jnp.log(a))
+            return (-jnp.log(zeta) - jnp.sum(jnp.log(a))
+                    - jnp.sum(jnp.log(b)))
+
+        def expand(red):
+            return np.concatenate(
+                [[red[0]], np.full(d, red[1]), np.full(d, red[2])])
+
+        return solve_central_ray(barrier_vec, expand, 3,
+                                 np.array([1.0, 1.0, 1.0]))
+
+    # -- per-point state -----------------------------------------------------
+
+    def point_aux(self, s):
+        u, vvec, wvec = self._split(s)
+        V, W = self._smat(vvec), self._smat(wvec)
+        lv, Qv = jnp.linalg.eigh(V)
+        lw, Qw = jnp.linalg.eigh(W)
+        n = self.w_len
+
+        Wv = Qv.conj().T @ W @ Qv  # W in V's eigenbasis
+        tr_WlogV = jnp.sum(jnp.real(jnp.diagonal(Wv)) * jnp.log(lv))
+        xi = jnp.sum(lw * jnp.log(lw)) - tr_WlogV
+        zeta = u - xi
+
+        Rv = spectral.svec_rotation(Qv, self._svec, self._smat, n)
+        Rw = spectral.svec_rotation(Qw, self._svec, self._smat, n)
+
+        d1v = _log_fdd1(lv)
+        d1w = _log_fdd1(lw)
+        f2v = _log_fdd2(lv)
+
+        # gradient pieces
+        logV = (Qv * jnp.log(lv)[None, :]) @ Qv.conj().T
+        logW = (Qw * jnp.log(lw)[None, :]) @ Qw.conj().T
+        eye = jnp.eye(self.side, dtype=W.dtype)
+        dxi_W = logW + eye - logV
+        dxi_V = -(Qv @ (d1v * Wv) @ Qv.conj().T)
+
+        a = 1.0 / zeta
+        b_v = -self._svec(dxi_V) / zeta
+        b_w = -self._svec(dxi_W) / zeta
+
+        # Mw blocks (plain svec basis), size 2n x 2n
+        pack_vv_phi = self._pack_sym(1.0 / jnp.outer(lv, lv))
+        pack_ww = self._pack_sym(1.0 / jnp.outer(lw, lw) + d1w / zeta)
+        M_WW = Rw.T @ (pack_ww[:, None] * Rw)
+
+        # VW cross: -(1/zeta) Dlog(V)
+        pack_d1v = self._pack_sym(d1v)
+        Dlogv_op = Rv.T @ (pack_d1v[:, None] * Rv)
+        M_VW = -Dlogv_op / zeta
+
+        # VV: phi part + (1/zeta) * (-T) with
+        # T[B]~_ij = sum_k f2[i,k,j] (Wv_ik B~_kj + B~_ik Wv_kj)
+        basis = jax.vmap(self._smat)(jnp.eye(n, dtype=jnp.float64))  # (n,d,d)
+        Bt = jnp.einsum("ab,nbc,cd->nad", Qv.conj().T, basis.astype(Qv.dtype),
+                        Qv)
+        TB = (jnp.einsum("ikj,ik,nkj->nij", f2v, Wv, Bt)
+              + jnp.einsum("ikj,nik,kj->nij", f2v, Bt, Wv))
+        T_cols = jax.vmap(
+            lambda M: self._svec(Qv @ M @ Qv.conj().T))(TB)  # (n, n)
+        T_mat = T_cols.T
+        M_VV = Rv.T @ (pack_vv_phi[:, None] * Rv) - T_mat / zeta
+
+        Mw = jnp.block([[M_VV, M_VW], [M_VW.T, M_WW]])
+        Mw = (Mw + Mw.T) / 2
+        Lw, ok = linalg.cholesky_shifted(Mw)
+
+        return {"zeta": zeta, "a": a, "b": jnp.concatenate([b_v, b_w]),
+                "Mw": Mw, "Mw_chol": Lw, "Mw_ok": ok,
+                "lv": lv, "lw": lw}
+
+    def _get_aux(self, s, aux):
+        if aux is None or "Mw_chol" not in aux:
+            return self.point_aux(s)
+        return aux
+
+    # -- oracles -------------------------------------------------------------
+
+    def grad(self, s, aux=None):
+        aux = self._get_aux(s, aux)
+        u, vvec, wvec = self._split(s)
+        V, W = self._smat(vvec), self._smat(wvec)
+        # grad F = -vdir + grad(phi) with vdir = grad(zeta)/zeta = (a, b)
+        g_u = -aux["a"]
+        Vi = _sym_inv(V)
+        Wi = _sym_inv(W)
+        g_wbar = -aux["b"] - jnp.concatenate([self._svec(Vi), self._svec(Wi)])
+        return jnp.concatenate([g_u[None], g_wbar])
+
+    def hess_prod(self, s, arr, aux=None):
+        aux = self._get_aux(s, aux)
+        one_d = arr.ndim == 1
+        A = arr[:, None] if one_d else arr
+        d_u, d_wbar = A[0, :], A[1:, :]
+        a, b, Mw = aux["a"], aux["b"], aux["Mw"]
+        vdot = a * d_u + b @ d_wbar
+        H_u = a * vdot
+        H_wbar = jnp.outer(b, vdot) + Mw @ d_wbar
+        out = jnp.concatenate([H_u[None, :], H_wbar], axis=0)
+        return out[:, 0] if one_d else out
+
+    def hess(self, s, aux=None):
+        eye = jnp.eye(self.dim, dtype=jnp.float64)
+        return self.hess_prod(s, eye, aux)
+
+    def inv_hess_prod(self, s, arr, aux=None):
+        aux = self._get_aux(s, aux)
+        one_d = arr.ndim == 1
+        A = arr[:, None] if one_d else arr
+        r_u, r_wbar = A[0, :], A[1:, :]
+        a, b, Lw = aux["a"], aux["b"], aux["Mw_chol"]
+        y = r_u / a
+        rhs_w = r_wbar - jnp.outer(b, y)
+        x_wbar = linalg.cho_solve(Lw, rhs_w)
+        x_u = (y - b @ x_wbar) / a
+        out = jnp.concatenate([x_u[None, :], x_wbar], axis=0)
+        return out[:, 0] if one_d else out
+
+    def inv_hess(self, s, aux=None):
+        eye = jnp.eye(self.dim, dtype=jnp.float64)
+        return self.inv_hess_prod(s, eye, aux)
+
+
+def _sym_inv(M):
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    return linalg.cho_solve(L, eye)

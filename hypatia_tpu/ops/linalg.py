@@ -18,8 +18,15 @@ import jax.scipy.linalg as jsl
 
 
 def solve_tri(L, B, lower=True, trans=False):
-    """Triangular solve wrapper (unit_diagonal=False)."""
-    return jsl.solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
+    """Triangular solve wrapper (unit_diagonal=False).
+
+    trans=True solves with the (conjugate, for complex) transpose of L.
+    """
+    if trans:
+        tr = 2 if jnp.iscomplexobj(L) else 1
+    else:
+        tr = 0
+    return jsl.solve_triangular(L, B, lower=lower, trans=tr)
 
 
 def chol_ok(L):

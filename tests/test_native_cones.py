@@ -123,3 +123,38 @@ def test_mixed_cones():
     build_solve_check(c, A, b, G, h,
                       [cones.HypoGeoMean(1 + n), cones.Nonnegative(n)],
                       expect_obj=-1.0)
+
+
+def test_epipersepspectral_vector_neglog():
+    """min u s.t. v = 1, w = w0 with h = -log -> u* = -sum log(w0)
+    (same value as hypoperlog negated)."""
+    w0 = np.array([2.0, 3.0])
+    c = [1.0]
+    G = np.zeros((4, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0, 1.0], w0])
+    build_solve_check(c, np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.EpiPerSepSpectralVector(cones.NegLogSSF(), 2)],
+                      expect_obj=-float(np.log(w0).sum()))
+
+
+def test_epipersepspectral_vector_entropy():
+    """min u s.t. v=1, w=w0 with h = x log x -> u* = sum w0 log w0."""
+    w0 = np.array([0.5, 2.0])
+    c = [1.0]
+    G = np.zeros((4, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0, 1.0], w0])
+    build_solve_check(c, np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.EpiPerSepSpectralVector(cones.NegEntropySSF(), 2)],
+                      expect_obj=float(np.sum(w0 * np.log(w0))))
+
+
+def test_wsos_univariate():
+    """max mu s.t. x^2+1 - mu WSOS on [-1,1] -> mu* = 1 (model obj -1)."""
+    from hypatia_tpu.polyutils import BoxDomain, interpolate
+    U, pts, Ps, V, w = interpolate(BoxDomain(-np.ones(1), np.ones(1)), 2)
+    fvals = pts[:, 0] ** 2 + 1.0
+    G = np.ones((U, 1))
+    build_solve_check([-1.0], np.zeros((0, 1)), np.zeros(0), G, fvals,
+                      [cones.WSOSInterpNonnegative(U, Ps)], expect_obj=-1.0)
