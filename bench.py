@@ -1,14 +1,14 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline metric (BASELINE.json): KKT factor+solve throughput per chip /
-IPM iterations per second on the benchmark configs.  Runs on the real TPU
-(JAX_PLATFORMS=axon in the session env).
+Runs the five BASELINE.json configs (linearopt LP, portfolio SOCP,
+doptimaldesign logdet, polymin WSOS, relentrentanglement quantum RE) in the
+fused on-device mode, reporting IPM iterations/s on the primary (largest
+LP) config plus per-config results.
 
-vs_baseline semantics: ratio of measured iterations/s to the provisional
-single-thread CPU reference estimate for the same instance (reference
-Hypatia publishes no absolute numbers in-repo — `BASELINE.md`; the local
-estimate is this solver run on one CPU thread, a conservative stand-in until
-the Julia reference can be timed).
+vs_baseline semantics: ratio of measured iterations/s to a provisional
+single-thread CPU estimate (the reference publishes no absolute numbers
+in-repo — see BASELINE.md; 15 it/s is a conservative single-thread stand-in
+for the 128x256 LP until the Julia reference can be timed).
 """
 
 import json
@@ -17,51 +17,64 @@ import time
 import numpy as np
 
 
-def build_linearopt(m, n, seed=1):
-    from hypatia_tpu import Model, cones
-    rng = np.random.default_rng(seed)
-    A = 10 * rng.random((m, n))
-    b = A.sum(axis=1)
-    c = rng.random(n)
-    G = -np.eye(n)
-    h = np.zeros(n)
-    return Model(c, A, b, G, h, [cones.Nonnegative(n)])
-
-
-def run_one(model, **opts):
+def run_config(mod, params, iter_limit=200, warm=True):
     from hypatia_tpu import Solver
-    solver = Solver(verbose=False, **opts)
+
+    model = mod.build(**params)
+    if warm:
+        # compile on identical structure (different instance data)
+        wparams = dict(params)
+        wparams["seed"] = params.get("seed", 1) + 1
+        wmodel = mod.build(**wparams)
+        ws = Solver(verbose=False, fused=True, iter_limit=iter_limit,
+                    default_tol_relax=10)
+        ws.load(wmodel)
+        ws.solve()
+    solver = Solver(verbose=False, fused=True, iter_limit=iter_limit,
+                    default_tol_relax=10)
     solver.load(model)
     t0 = time.time()
     solver.solve()
     wall = time.time() - t0
-    return solver, wall
+    return {
+        "status": solver.get_status(),
+        "iters": solver.get_num_iters(),
+        "obj": solver.get_primal_obj(),
+        "solve_s": round(wall, 4),
+        "step_s": round(solver.timers.get("step", wall), 4),
+        "iters_per_s": round(solver.get_num_iters()
+                             / max(solver.timers.get("step", wall), 1e-9), 2),
+    }
 
 
 def main():
     import hypatia_tpu  # noqa: F401
+    import examples
 
-    m, n = 64, 128
-    model = build_linearopt(m, n)
-    # warmup (compile)
-    solver, _ = run_one(model, iter_limit=3)
-    # timed run
-    model = build_linearopt(m, n)
-    solver, wall = run_one(model)
-    iters = max(solver.get_num_iters(), 1)
-    step_time = solver.timers.get("step", wall)
-    iters_per_s = iters / step_time if step_time > 0 else 0.0
+    configs = [
+        ("linearopt", examples.linearopt, dict(m=128, n=256)),
+        ("portfolio", examples.portfolio, dict(num_stocks=100)),
+        ("doptimaldesign", examples.doptimaldesign,
+         dict(q=10, p=30, n=60, n_max=6, use_logdet=True)),
+        ("polymin", examples.polymin, dict(poly="goldsteinprice")),
+        ("relentr", examples.relentrentanglement, dict(na=2, nb=2)),
+    ]
+    per_config = {}
+    for name, mod, params in configs:
+        try:
+            per_config[name] = run_config(mod, params)
+        except Exception as e:  # keep the bench robust
+            per_config[name] = {"status": f"ERROR: {type(e).__name__}: {e}"}
 
-    # provisional baseline: ~15 iter/s for this size single-thread CPU IPM
+    primary = per_config.get("linearopt", {})
+    iters_per_s = primary.get("iters_per_s", 0.0)
     baseline_iters_per_s = 15.0
     result = {
-        "metric": "linearopt_lp_128_ipm_iterations_per_s",
-        "value": round(iters_per_s, 3),
+        "metric": "linearopt_lp_256_ipm_iterations_per_s",
+        "value": iters_per_s,
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / baseline_iters_per_s, 3),
-        "status": solver.get_status(),
-        "num_iters": iters,
-        "solve_time_s": round(wall, 3),
+        "configs": per_config,
     }
     print(json.dumps(result))
 

@@ -17,7 +17,12 @@ from hypatia_tpu.cones.matrix_cones import (
     EpiNormSpectral,
     MatrixEpiPerSquare,
 )
-from hypatia_tpu.cones.wsos import WSOSInterpNonnegative
+from hypatia_tpu.cones.wsos import (
+    WSOSInterpNonnegative,
+    WSOSInterpPosSemidefTri,
+    WSOSInterpEpiNormEucl,
+    WSOSInterpEpiNormOne,
+)
 from hypatia_tpu.cones.sepspectral_matrix import EpiPerSepSpectralMatrix
 from hypatia_tpu.cones.epitrrelentropy import EpiTrRelEntropyTri
 from hypatia_tpu.cones.sepspectral import (
@@ -59,6 +64,9 @@ __all__ = [
     "EpiPerSepSpectralVector",
     "EpiPerSepSpectralMatrix",
     "EpiTrRelEntropyTri",
+    "WSOSInterpPosSemidefTri",
+    "WSOSInterpEpiNormEucl",
+    "WSOSInterpEpiNormOne",
     "InvSSF",
     "NegLogSSF",
     "NegEntropySSF",

@@ -70,6 +70,17 @@ class Cone:
             ", use_dual=True)" if self.use_dual else ")"
         )
 
+    def params_key(self):
+        """Hashable key of extra cone parameters (override in cones with
+        data parameters, hashing their VALUES: parameters are closed over as
+        constants in compiled programs, so structural jit-cache reuse is
+        only sound when parameter values match)."""
+        return ()
+
+    def struct_key(self):
+        return (type(self).__name__, self.dim, self.use_dual,
+                self.params_key())
+
     # -- core oracle: the barrier itself -----------------------------------
 
     def barrier(self, s):

@@ -63,6 +63,9 @@ class EpiTrRelEntropyTri(Cone):
             self.side = svec_side(w_len)
         self.d = self.side
 
+    def params_key(self):
+        return (self.is_complex,)
+
     @property
     def nu(self):
         return 2 * self.d + 1

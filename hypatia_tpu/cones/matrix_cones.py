@@ -42,6 +42,9 @@ def _chol_logdet(L):
 class _MatrixMixin:
     """svec<->smat helpers switching on real/complex."""
 
+    def params_key(self):
+        return (self.is_complex,)
+
     def _setup_matrix(self, w_len, is_complex):
         self.is_complex = bool(is_complex)
         if self.is_complex:
@@ -243,6 +246,9 @@ class LinMatrixIneq(Cone):
         super().__init__(len(As), use_dual)
         self.side = side
         self.As = np.stack(As)  # (dim, side, side), possibly complex
+
+    def params_key(self):
+        return (self.As.tobytes(),)
 
     @property
     def nu(self):

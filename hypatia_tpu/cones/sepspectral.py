@@ -165,6 +165,9 @@ class EpiPerSepSpectralVector(ZetaCone):
         self.h = h
         self.d = d
 
+    def params_key(self):
+        return (repr(self.h),)
+
     def __repr__(self):
         return (f"EpiPerSepSpectralVector({self.h!r}, d={self.d}"
                 + (", use_dual=True)" if self.use_dual else ")"))

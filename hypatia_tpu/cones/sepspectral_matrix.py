@@ -45,6 +45,9 @@ class EpiPerSepSpectralMatrix(Cone):
         self.w_len = d * d if is_complex else svec_length(d)
         super().__init__(2 + self.w_len, use_dual)
 
+    def params_key(self):
+        return (repr(self.h), self.is_complex)
+
     def __repr__(self):
         return (f"EpiPerSepSpectralMatrix({self.h!r}, d={self.d}"
                 + (", complex" if self.is_complex else "")

@@ -163,6 +163,9 @@ class GeneralizedPower(Cone):
         self.m = len(alpha)
         self.w_dim = w_dim
 
+    def params_key(self):
+        return (self.alpha.tobytes(),)
+
     @property
     def nu(self):
         return self.m + 1
@@ -274,6 +277,9 @@ class HypoPowerMean(_CentralRayMixin, ZetaCone):
         super().__init__(len(alpha) + 1, use_dual)
         self.alpha = alpha
         self.d = len(alpha)
+
+    def params_key(self):
+        return (self.alpha.tobytes(),)
 
     @property
     def nu(self):

@@ -1,0 +1,174 @@
+"""Batched-instance solving: vmap the IPM over many independent problems.
+
+The benchmark north star (BASELINE.json) calls for batched problem
+instances sharded over the device mesh.  All instances must share the same
+*structure* (dims and cone list); data (c, A, b, G, h) varies per instance.
+The whole per-iteration step runs under one `vmap`-of-`jit`; instances that
+have already terminated are frozen via masking, and the host loop runs
+until every instance is done.  With a `jax.sharding.Mesh`, the batch axis
+is sharded across devices (pure data parallelism, no collectives needed in
+the step itself).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hypatia_tpu.solvers import process, steppers
+from hypatia_tpu.solvers.structures import StepContext, calc_mu
+from hypatia_tpu.solvers.solver import calc_convergence, Solver
+from hypatia_tpu.utils.dtypes import eps as dtype_eps
+
+
+def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
+    """Solve a list of structurally-identical models in parallel.
+
+    Returns a list of result dicts (status, primal_obj, dual_obj, x, y, z, s,
+    num_iters).  If `mesh` is given, batch data is sharded over its first
+    axis.
+    """
+    solver_options = dict(solver_options or {})
+    solver_options.setdefault("verbose", False)
+    nb = len(models)
+    assert nb >= 1
+    m0 = models[0]
+    for m in models[1:]:
+        assert m.n == m0.n and m.p == m0.p and m.q == m0.q
+        assert len(m.cones) == len(m0.cones)
+
+    # host-side preprocessing per instance (cheap, runs once); batching
+    # requires consistent reduced dims, so preprocessing/reduction is
+    # disabled and the symindef path (no QR preprocessing) is used
+    solver_options.update(preprocess=False, reduce=False, rescale=False,
+                          syssolver="symindef")
+    ref_solver = Solver(**solver_options)
+
+    ctx = StepContext(
+        cones=tuple(m0.cones), cone_idxs=tuple(m0.cone_idxs),
+        n=m0.n, p=m0.p, q=m0.q, nu=m0.nu,
+        dtype=jnp.dtype(np.float64),
+        syssolver="symindef",
+        stepper=ref_solver.stepper,
+        max_ref_steps=ref_solver.max_ref_steps,
+        **ref_solver.stepper_opts,
+    )
+
+    # stack data
+    def stack(key):
+        return jnp.asarray(np.stack([getattr(m, key) for m in models]))
+
+    data_b = {k: stack(k) for k in ("c", "A", "b", "G", "h")}
+
+    # initial points
+    init_z = np.zeros((nb, m0.q))
+    init_s = np.zeros((nb, m0.q))
+    for cone, (start, dim) in zip(m0.cones, m0.cone_idxs):
+        pt0 = np.asarray(cone.init_point())
+        with jax.default_device(jax.devices("cpu")[0]):
+            g0 = np.asarray(cone.grad(jnp.asarray(pt0)))
+        if cone.use_dual:
+            init_z[:, start:start + dim] = pt0
+            init_s[:, start:start + dim] = -g0
+        else:
+            init_s[:, start:start + dim] = pt0
+            init_z[:, start:start + dim] = -g0
+
+    init_x = np.zeros((nb, m0.n))
+    init_y = np.zeros((nb, m0.p))
+    for i, m in enumerate(models):
+        AG = np.vstack([m.A, m.G])
+        rhs = np.concatenate([m.b, m.h - init_s[i]])
+        init_x[i], *_ = np.linalg.lstsq(AG, rhs, rcond=None)
+        if m.p:
+            rhs_y = -m.c - m.G.T @ init_z[i]
+            init_y[i], *_ = np.linalg.lstsq(m.A.T, rhs_y, rcond=None)
+
+    pt_b = {
+        "x": jnp.asarray(init_x), "y": jnp.asarray(init_y),
+        "z": jnp.asarray(init_z), "s": jnp.asarray(init_s),
+        "tau": jnp.ones(nb), "kap": jnp.ones(nb),
+    }
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard), t)
+        data_b, pt_b = put(data_b), put(pt_b)
+
+    conv_tols = {
+        "x": 1.0 / (1.0 + max(np.max(np.abs(m.c), initial=0.0)
+                              for m in models)),
+        "y": 1.0 / (1.0 + max(np.max(np.abs(m.b), initial=0.0)
+                              for m in models)),
+        "z": 1.0 / (1.0 + max(np.max(np.abs(m.h), initial=0.0)
+                              for m in models)),
+    }
+
+    def one_iter(data, pt, done):
+        conv = calc_convergence(ctx, data, conv_tols, pt)
+        residuals = {"x": conv["x"], "y": conv["y"], "z": conv["z"],
+                     "tau": conv["tau_residual"]}
+        cutoff = 1e-4 * jnp.maximum(
+            jnp.maximum(conv["x_norm_res"], conv["y_norm_res"]),
+            jnp.maximum(conv["z_norm_res"], jnp.abs(conv["tau_residual"])))
+        new_pt, info = steppers.step_combined(ctx, data, pt, residuals,
+                                              cutoff)
+        # freeze finished instances
+        frozen = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(done, old, new), new_pt, pt)
+        return frozen, conv, info
+
+    iter_b = jax.jit(jax.vmap(one_iter, in_axes=(0, 0, 0)))
+
+    eps = dtype_eps(np.float64)
+    tol_feas = ref_solver.tol_feas
+    tol_rel = ref_solver.tol_rel_opt
+    tol_abs = ref_solver.tol_abs_opt
+
+    done = jnp.zeros(nb, dtype=bool)
+    statuses = ["IterationLimit"] * nb
+    iters = np.zeros(nb, dtype=int)
+    for it in range(iter_limit):
+        pt_b, conv, info = iter_b(data_b, pt_b, done)
+        feas = jnp.maximum(jnp.maximum(conv["x_feas"], conv["y_feas"]),
+                           conv["z_feas"])
+        is_feas = feas <= tol_feas
+        gap = conv["gap"]
+        tau = conv["tau"]
+        pobj_t, dobj_t = conv["primal_obj_t"], conv["dual_obj_t"]
+        rel_ok = (jnp.minimum(gap / tau, jnp.abs(pobj_t - dobj_t))
+                  <= tol_rel * jnp.maximum(
+                      tau, jnp.minimum(jnp.abs(pobj_t), jnp.abs(dobj_t))))
+        optimal = is_feas & ((gap <= tol_abs) | rel_ok)
+        newly = np.asarray(optimal & ~done)
+        for i in np.nonzero(newly)[0]:
+            statuses[i] = "Optimal"
+            iters[i] = it
+        failed = np.asarray(~np.asarray(info["found"]) & ~np.asarray(done))
+        for i in np.nonzero(failed)[0]:
+            statuses[i] = "NumericalFailure"
+            iters[i] = it
+        done = done | optimal | jnp.asarray(failed)
+        if bool(jnp.all(done)):
+            break
+
+    conv = jax.jit(jax.vmap(
+        lambda d, p: calc_convergence(ctx, d, conv_tols, p)))(data_b, pt_b)
+    tau = np.asarray(conv["tau"])
+    results = []
+    for i in range(nb):
+        results.append({
+            "status": statuses[i],
+            "num_iters": int(iters[i]),
+            "primal_obj": float(conv["primal_obj_t"][i] / tau[i])
+            + models[i].obj_offset,
+            "dual_obj": float(conv["dual_obj_t"][i] / tau[i])
+            + models[i].obj_offset,
+            "x": np.asarray(pt_b["x"][i]) / tau[i],
+            "y": np.asarray(pt_b["y"][i]) / tau[i],
+            "z": np.asarray(pt_b["z"][i]) / tau[i],
+            "s": np.asarray(pt_b["s"][i]) / tau[i],
+        })
+    return results

@@ -9,6 +9,7 @@ scalar diagnostics each step returns — the device does all the linear
 algebra, the host only branches on ~10 floats per iteration.
 """
 
+import functools
 import time
 
 import numpy as np
@@ -82,8 +83,29 @@ def calc_convergence(ctx, data, conv_tols, pt):
     }
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _conv_jit(ctx, data, conv_tols, pt):
+    return calc_convergence(ctx, data, conv_tols, pt)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _step_combined_jit(ctx, data, pt, residuals, cutoff):
+    return steppers.step_combined(ctx, data, pt, residuals, cutoff)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _step_predorcent_jit(ctx, data, pt, residuals, cutoff, is_pred):
+    return steppers.step_predorcent(ctx, data, pt, residuals, cutoff, is_pred)
+
+
 class Solver:
-    """Conic IPM solver (options mirror `Solver{T}` `Solvers.jl:162-240`)."""
+    """Conic IPM solver (options mirror `Solver{T}` `Solvers.jl:162-240`).
+
+    `fused=True` (default when not verbose) runs the whole iteration loop as
+    one on-device `lax.while_loop` with zero per-iteration host sync — the
+    TPU-native execution mode. `fused=False` steps once per host iteration
+    (needed for verbose iteration printing and time limits).
+    """
 
     def __init__(
         self,
@@ -111,6 +133,7 @@ class Solver:
         prox_bound=0.99,
         min_prox=0.01,
         max_ref_steps=5,
+        fused=None,
         dtype=np.float64,
     ):
         self.dtype = np.dtype(dtype)
@@ -145,6 +168,7 @@ class Solver:
             min_prox=min_prox,
         )
         self.max_ref_steps = max_ref_steps
+        self.fused = fused
 
         self.status = "NotLoaded"
         self.num_iters = 0
@@ -301,21 +325,22 @@ class Solver:
                   "(possible cone oracle problem)")
 
         conv_tols = {
-            "x": 1.0 / (1.0 + np.max(np.abs(model.c), initial=0.0)),
-            "y": 1.0 / (1.0 + np.max(np.abs(model.b), initial=0.0)),
-            "z": 1.0 / (1.0 + np.max(np.abs(model.h), initial=0.0)),
+            "x": jnp.asarray(1.0 / (1.0 + np.max(np.abs(model.c),
+                                                 initial=0.0))),
+            "y": jnp.asarray(1.0 / (1.0 + np.max(np.abs(model.b),
+                                                 initial=0.0))),
+            "z": jnp.asarray(1.0 / (1.0 + np.max(np.abs(model.h),
+                                                 initial=0.0))),
         }
-
-        conv_fn = jax.jit(lambda d, p_: calc_convergence(ctx, d, conv_tols, p_))
-        if self.stepper == "combined":
-            step_fn = jax.jit(
-                lambda d, p_, res, cutoff: steppers.step_combined(
-                    ctx, d, p_, res, cutoff))
-        else:
-            step_fn = jax.jit(
-                lambda d, p_, res, cutoff, is_pred: steppers.step_predorcent(
-                    ctx, d, p_, res, cutoff, is_pred))
         timers["loadsys"] = time.time() - t0
+
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = (not self.verbose) and self.stepper == "combined" \
+                and np.isinf(self.time_limit)
+        if use_fused and self.stepper == "combined":
+            return self._solve_fused(ctx, data, conv_tols, pt, orig, model,
+                                     pre, timers, start_time)
 
         # iteration loop (`Solvers.jl:340-398`)
         prev_feas = dict(x=np.nan, y=np.nan, z=np.nan, tau=np.nan)
@@ -330,8 +355,8 @@ class Solver:
                   f"{'kap':>9} {'mu':>9} {'alpha':>9}")
 
         while True:
-            conv = conv_fn(data, pt)
-            convh = {k: np.asarray(v) for k, v in conv.items()}
+            conv = _conv_jit(ctx, data, conv_tols, pt)
+            convh = jax.device_get(conv)
             tau = float(convh["tau"])
             kap = float(convh["kap"])
             mu = float(convh["mu"])
@@ -387,16 +412,19 @@ class Solver:
 
             t0 = time.time()
             if self.stepper == "combined":
-                pt, info = step_fn(data, pt, residuals, cutoff)
+                pt, info = _step_combined_jit(ctx, data, pt, residuals,
+                                              cutoff)
             else:
                 is_pred = (cent_count >= self.stepper_opts["max_cent_steps"]
                            or prox < self.stepper_opts["pred_prox_bound"])
                 cent_count = 0 if is_pred else cent_count + 1
-                pt, info = step_fn(data, pt, residuals, cutoff, is_pred)
-            found = bool(info["found"])
-            prox = float(info["prox"])
+                pt, info = _step_predorcent_jit(ctx, data, pt, residuals,
+                                                cutoff, is_pred)
+            infoh = jax.device_get(info)
+            found = bool(infoh["found"])
+            prox = float(infoh["prox"])
             self.worst_dir_res = max(self.worst_dir_res,
-                                     float(info["worst_dir_res"]))
+                                     float(infoh["worst_dir_res"]))
             timers["step"] += time.time() - t0
 
             if not found:
@@ -422,6 +450,50 @@ class Solver:
         if self.verbose:
             print(f"\nstatus is {self.status} after {self.num_iters} "
                   f"iterations and {self.solve_time:.3f} seconds\n")
+        return self
+
+    def _solve_fused(self, ctx, data, conv_tols, pt, orig, model, pre,
+                     timers, start_time):
+        """Fully on-device solve (`hypatia_tpu.solvers.fused`)."""
+        from hypatia_tpu.solvers import fused
+
+        tols = {
+            "tol_feas": jnp.asarray(self.tol_feas),
+            "tol_rel_opt": jnp.asarray(self.tol_rel_opt),
+            "tol_abs_opt": jnp.asarray(self.tol_abs_opt),
+            "tol_infeas": jnp.asarray(self.tol_infeas),
+            "tol_illposed": jnp.asarray(self.tol_illposed),
+        }
+        t0 = time.time()
+        pt, status_code, iters, conv, wdr = fused.fused_solve_jit(
+            ctx, data, conv_tols, tols, pt, self.iter_limit)
+        convh = jax.device_get(conv)
+        timers["step"] = time.time() - t0
+
+        code = int(status_code)
+        self.status = fused.STATUS_CODES.get(code, "UnknownStatus")
+        self.num_iters = int(iters)
+        self.worst_dir_res = float(wdr)
+        tau = float(convh["tau"])
+        self.gap = float(convh["gap"])
+        if self.status in ("PrimalInfeasible", "DualInfeasible"):
+            self.primal_obj = float(convh["primal_obj_t"])
+            self.dual_obj = float(convh["dual_obj_t"])
+        else:
+            self.primal_obj = float(convh["primal_obj_t"]) / tau \
+                + model.obj_offset
+            self.dual_obj = float(convh["dual_obj_t"]) / tau \
+                + model.obj_offset
+
+        t0 = time.time()
+        point_np = jax.device_get(pt)
+        process.postprocess(self.status, orig, model, pre, point_np,
+                            self.result)
+        timers["unproc"] = time.time() - t0
+        self.solve_time = time.time() - start_time
+        if self.verbose:
+            print(f"status is {self.status} after {self.num_iters} "
+                  f"iterations and {self.solve_time:.3f} seconds")
         return self
 
     def _check_convergence(self, tau, kap, mu, pobj_t, dobj_t, gap, feas,

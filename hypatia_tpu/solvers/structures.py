@@ -45,13 +45,24 @@ class StepContext:
     alpha_sched: Tuple[float, ...] = DEFAULT_ALPHA_SCHED
     max_ref_steps: int = 5
 
-    def __hash__(self):
-        return hash((
-            tuple(id(c) for c in self.cones), self.cone_idxs, self.n, self.p,
-            self.q, self.syssolver, self.stepper, self.use_adjustment,
-            self.use_curve_search, self.max_cent_steps, self.shift_sched,
+    def _key(self):
+        return (
+            tuple(c.struct_key() for c in self.cones), self.cone_idxs,
+            self.n, self.p, self.q, str(self.dtype), self.syssolver,
+            self.stepper, self.use_adjustment, self.use_curve_search,
+            self.max_cent_steps, self.pred_prox_bound, self.shift_sched,
+            self.min_prox, self.prox_bound, self.use_max_prox,
             self.alpha_sched, self.max_ref_steps,
-        ))
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return (isinstance(other, StepContext)
+                and self._key() == other._key()
+                and all(type(a) is type(b)
+                        for a, b in zip(self.cones, other.cones)))
 
 
 # ---------------------------------------------------------------------------

@@ -121,17 +121,23 @@ def update_lhs(ctx, data, iter_aux):
         sys["lhs6"] = _naive_lhs6(ctx, data, iter_aux)
         Q, R = jnp.linalg.qr(sys["lhs6"])
         sys["qr_q"], sys["qr_r"] = Q, R
+    elif ctx.syssolver == "naiveelim":
+        lhs4 = _naiveelim_lhs4(ctx, data, iter_aux)
+        Q, R = jnp.linalg.qr(lhs4)
+        sys["qr_q"], sys["qr_r"] = Q, R
+    elif ctx.syssolver == "symindef_indirect":
+        pass  # matrix-free; nothing to factor
     else:
         raise ValueError(ctx.syssolver)
 
-    if ctx.syssolver in ("qrchol", "symindef"):
+    if ctx.syssolver in ("qrchol", "symindef", "symindef_indirect"):
         # constant-RHS 3x3 solve for the tau lift
         if ctx.syssolver == "qrchol":
             rhs_const_z = blockwise(
                 ctx, iter_aux, data["h"],
                 lambda k, hk: block_hess_prod(ctx, iter_aux, k, hk))
         else:
-            rhs_const_z = data["h"]
+            rhs_const_z = data["h"]  # symindef variants
         sol_const = solve_subsystem3(
             ctx, data, iter_aux, sys, -data["c"], data["b"], rhs_const_z)
         sys["sol_const"] = sol_const
@@ -185,6 +191,46 @@ def _naive_lhs6(ctx, data, iter_aux):
     return M
 
 
+def _naiveelim_lhs4(ctx, data, iter_aux):
+    """4x4 system in (x, y, z, tau) after eliminating s and kap
+    (`naiveelim.jl:1-33`, use_inv_hess=false H-form)."""
+    n, p, q = ctx.n, ctx.p, ctx.q
+    A, G, c, b, h = data["A"], data["G"], data["c"], data["b"], data["h"]
+    dim = n + p + q + 1
+    xs, ys, zs, ts = 0, n, n + p, n + p + q
+    M = jnp.zeros((dim, dim), dtype=ctx.dtype)
+    M = M.at[xs:ys, ys:zs].set(A.T)
+    M = M.at[xs:ys, zs:ts].set(G.T)
+    M = M.at[xs:ys, ts].set(c)
+    M = M.at[ys:zs, xs:ys].set(-A)
+    M = M.at[ys:zs, ts].set(b)
+    for k, cone in enumerate(ctx.cones):
+        start, dimk = ctx.cone_idxs[k]
+        Gk = G[start:start + dimk, :]
+        hk = h[start:start + dimk]
+        r0 = zs + start
+        eye = jnp.eye(dimk, dtype=ctx.dtype)
+        s_scal = iter_aux["s_scals"][k]
+        aux = iter_aux["auxes"][k]
+        H = cone.hess(s_scal, aux)
+        if cone.use_dual:
+            # -G_k x + mu H_k z_k + h_k tau
+            M = M.at[r0:r0 + dimk, xs:ys].set(-Gk)
+            M = M.at[r0:r0 + dimk, zs + start:zs + start + dimk].set(H)
+            M = M.at[r0:r0 + dimk, ts].set(hk)
+        else:
+            # -mu H_k G_k x + z_k + mu H_k h_k tau
+            M = M.at[r0:r0 + dimk, xs:ys].set(-H @ Gk)
+            M = M.at[r0:r0 + dimk, zs + start:zs + start + dimk].set(eye)
+            M = M.at[r0:r0 + dimk, ts].set(H @ hk)
+    tau = iter_aux["tau"]
+    M = M.at[ts, xs:ys].set(-c)
+    M = M.at[ts, ys:zs].set(-b)
+    M = M.at[ts, zs:ts].set(-h)
+    M = M.at[ts, ts].set(iter_aux["mu"] / tau / tau)
+    return M
+
+
 # ---------------------------------------------------------------------------
 # 3x3 solve
 # ---------------------------------------------------------------------------
@@ -205,6 +251,35 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
         y = sol[ctx.n:ctx.n + ctx.p]
         z = sol[ctx.n + ctx.p:]
         return x, y, z
+
+    if ctx.syssolver == "symindef_indirect":
+        # matrix-free 3x3 solve via GMRES with per-cone product oracles
+        # (`symindef.jl:282-343` uses MINRES; GMRES is the jax-native
+        # equivalent for symmetric indefinite operators)
+        A, G = data["A"], data["G"]
+        n, p = ctx.n, ctx.p
+
+        def matvec(v):
+            vx, vy, vz = v[:n], v[n:n + p], v[n + p:]
+            ox = G.T @ vz + (A.T @ vy if p else 0.0)
+            oy = A @ vx if p else jnp.zeros(0, dtype=ctx.dtype)
+            Hz = jnp.zeros(ctx.q, dtype=ctx.dtype)
+            for k, cone in enumerate(ctx.cones):
+                start, dim = ctx.cone_idxs[k]
+                s_scal = iter_aux["s_scals"][k]
+                aux = iter_aux["auxes"][k]
+                vz_k = vz[start:start + dim]
+                prod = (cone.hess_prod(s_scal, vz_k, aux) if cone.use_dual
+                        else cone.inv_hess_prod(s_scal, vz_k, aux))
+                Hz = Hz.at[start:start + dim].set(prod)
+            oz = G @ vx - Hz
+            return jnp.concatenate([ox, oy, oz])
+
+        rhs = jnp.concatenate([rx, ry, rz])
+        sol, _ = jax.scipy.sparse.linalg.gmres(
+            matvec, rhs, tol=1e-12, atol=0.0, maxiter=40,
+            restart=min(rhs.shape[0], 80), solve_method="batched")
+        return sol[:n], sol[n:n + p], sol[n + p:]
 
     assert ctx.syssolver == "qrchol"
     G = data["G"]
@@ -255,6 +330,31 @@ def solve_system(ctx, data, iter_aux, sys, rhs):
                 "tau": sol[ts], "s": sol[ts + 1:ts + 1 + q],
                 "kap": sol[ts + 1 + q]}
 
+    if ctx.syssolver == "naiveelim":
+        # rhs4 (`naiveelim.jl:35-100` semantics, H-form)
+        rz4 = jnp.zeros(ctx.q, dtype=ctx.dtype)
+        for k, cone in enumerate(ctx.cones):
+            start, dim = ctx.cone_idxs[k]
+            rz_k = rhs["z"][start:start + dim]
+            rs_k = rhs["s"][start:start + dim]
+            s_scal = iter_aux["s_scals"][k]
+            aux = iter_aux["auxes"][k]
+            if cone.use_dual:
+                val = rz_k + rs_k
+            else:
+                val = cone.hess_prod(s_scal, rz_k, aux) + rs_k
+            rz4 = rz4.at[start:start + dim].set(val)
+        r4 = jnp.concatenate([rhs["x"], rhs["y"], rz4,
+                              (rhs["tau"] + rhs["kap"])[None]])
+        sol4 = linalg.solve_tri(sys["qr_r"], sys["qr_q"].T @ r4, lower=False)
+        n, p, q = ctx.n, ctx.p, ctx.q
+        x, y, z = sol4[:n], sol4[n:n + p], sol4[n + p:n + p + q]
+        sol_tau = sol4[n + p + q]
+        tau_bar = iter_aux["tau"]
+        s = data["h"] * sol_tau - rhs["z"] - data["G"] @ x
+        kap = -iter_aux["mu"] / tau_bar / tau_bar * sol_tau + rhs["kap"]
+        return {"x": x, "y": y, "z": z, "s": s, "tau": sol_tau, "kap": kap}
+
     # setup 3x3 rhs (setup_rhs3; strategy-dependent z transform)
     rx = rhs["x"]
     ry = -rhs["y"]
@@ -272,7 +372,7 @@ def solve_system(ctx, data, iter_aux, sys, rhs):
             else:
                 val = -cone.hess_prod(s_scal, rz_k, aux) - rs_k
         else:
-            # `symindef.jl:34-57`
+            # `symindef.jl:34-57` (direct and indirect)
             if cone.use_dual:
                 val = -rz_k - rs_k
             else:

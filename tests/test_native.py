@@ -13,6 +13,7 @@ from hypatia_tpu import Model, Solver, cones
 
 def build_solve_check(c, A, b, G, h, cone_list, tol=1e-7, obj_offset=0.0,
                       expect_status="Optimal", expect_obj=None, **opts):
+    tol = opts.pop("check_tol", tol)
     model = Model(c, A, b, G, h, cone_list, obj_offset=obj_offset)
     solver = Solver(**opts)
     solver.load(model)
@@ -46,6 +47,11 @@ ALL_CONFIGS = [
     dict(syssolver="qrchol", reduce=False),
     dict(syssolver="symindef", preprocess=False, reduce=False),
     dict(syssolver="naive", preprocess=False, reduce=False),
+    dict(syssolver="naiveelim", preprocess=False, reduce=False),
+    # indirect solvers are tested at relaxed tolerances, like the
+    # reference's inst_indirect set (`nativesets.jl:169-175`)
+    dict(syssolver="symindef_indirect", preprocess=False, reduce=False,
+         default_tol_relax=10000, tol_slow=1e-5, check_tol=1e-3),
     dict(syssolver="qrchol", stepper="predorcent"),
     dict(syssolver="qrchol", stepper="predorcent", use_adjustment=False,
          use_curve_search=False),
@@ -77,11 +83,12 @@ def test_lp_random(opts):
     c = rng.random(n)
     G = -np.eye(n)
     h = np.zeros(n)
+    loose = opts.get("check_tol", 1e-6)
     s1 = build_solve_check(c, A, b, G, h, [cones.Nonnegative(n)], **opts)
     # cross-validate objective against scipy linprog
     import scipy.optimize
     res = scipy.optimize.linprog(c, A_eq=A, b_eq=b, bounds=(0, None))
-    assert abs(s1.get_primal_obj() - res.fun) < 1e-6 * (1 + abs(res.fun))
+    assert abs(s1.get_primal_obj() - res.fun) < loose * (1 + abs(res.fun))
 
 
 @pytest.mark.parametrize("opts", ALL_CONFIGS[:3],
