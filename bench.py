@@ -48,6 +48,14 @@ def run_config(mod, params, iter_limit=200, warm=True):
 
 
 def main():
+    import os
+    import jax
+    # persistent compile cache: TPU remote compiles are slow (~minutes for
+    # the big fused programs); cache compiled binaries across runs
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import hypatia_tpu  # noqa: F401
     import examples
 
@@ -56,15 +64,22 @@ def main():
         ("portfolio", examples.portfolio, dict(num_stocks=100)),
         ("doptimaldesign", examples.doptimaldesign,
          dict(q=10, p=30, n=60, n_max=6, use_logdet=True)),
-        ("polymin", examples.polymin, dict(poly="goldsteinprice")),
+        ("polymin", examples.polymin, dict(poly="univariate_quartic")),
         ("relentr", examples.relentrentanglement, dict(na=2, nb=2)),
     ]
+    if os.environ.get("BENCH_FAST"):
+        configs = configs[:1]
+    import sys
     per_config = {}
     for name, mod, params in configs:
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+        t0 = time.time()
         try:
             per_config[name] = run_config(mod, params)
         except Exception as e:  # keep the bench robust
             per_config[name] = {"status": f"ERROR: {type(e).__name__}: {e}"}
+        print(f"[bench] {name} done in {time.time()-t0:.1f}s: "
+              f"{per_config[name]}", file=sys.stderr, flush=True)
 
     primary = per_config.get("linearopt", {})
     iters_per_s = primary.get("iters_per_s", 0.0)

@@ -25,6 +25,7 @@ from hypatia_tpu.cones.wsos import (
 )
 from hypatia_tpu.cones.sepspectral_matrix import EpiPerSepSpectralMatrix
 from hypatia_tpu.cones.epitrrelentropy import EpiTrRelEntropyTri
+from hypatia_tpu.cones.psdsparse import PosSemidefTriSparse
 from hypatia_tpu.cones.sepspectral import (
     EpiPerSepSpectralVector,
     InvSSF,
@@ -64,6 +65,7 @@ __all__ = [
     "EpiPerSepSpectralVector",
     "EpiPerSepSpectralMatrix",
     "EpiTrRelEntropyTri",
+    "PosSemidefTriSparse",
     "WSOSInterpPosSemidefTri",
     "WSOSInterpEpiNormEucl",
     "WSOSInterpEpiNormOne",
