@@ -6,7 +6,10 @@ Parity targets: the reference `examples/` tree (37 families; see SURVEY.md
 mirroring the reference's `*_test.jl` instance sets.
 """
 
-from examples import linearopt, portfolio, doptimaldesign, polymin, relentrentanglement
+from examples import (
+    linearopt, portfolio, doptimaldesign, polymin, relentrentanglement,
+    maxvolume, matrixcompletion, discretemaxlikelihood, covarianceest,
+)
 from examples.common import run_instance
 
 FAMILIES = {
@@ -15,4 +18,8 @@ FAMILIES = {
     "doptimaldesign": doptimaldesign,
     "polymin": polymin,
     "relentrentanglement": relentrentanglement,
+    "maxvolume": maxvolume,
+    "matrixcompletion": matrixcompletion,
+    "discretemaxlikelihood": discretemaxlikelihood,
+    "covarianceest": covarianceest,
 }

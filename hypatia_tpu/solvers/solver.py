@@ -352,7 +352,11 @@ class Solver:
         if self.verbose:
             print(f"{'iter':>5} {'p_obj':>12} {'d_obj':>12} {'abs_gap':>9} "
                   f"{'x_feas':>9} {'y_feas':>9} {'z_feas':>9} {'tau':>9} "
-                  f"{'kap':>9} {'mu':>9} {'alpha':>9}")
+                  f"{'kap':>9} {'mu':>9} {'dir_res':>8} {'prox':>8} "
+                  f"{'step':>5} {'alpha':>9}")
+        prev_alpha = 0.0
+        prev_mode = -1
+        mode_names = {0: "co-a", 1: "comb", 2: "ce-a", 3: "cent", 4: "pr-a"}
 
         while True:
             conv = _conv_jit(ctx, data, conv_tols, pt)
@@ -369,10 +373,12 @@ class Solver:
             self.gap = gap
 
             if self.verbose:
+                step_name = mode_names.get(prev_mode, "")
                 print(f"{self.num_iters:5d} {self.primal_obj:12.4e} "
                       f"{self.dual_obj:12.4e} {gap:9.2e} {feas['x']:9.2e} "
                       f"{feas['y']:9.2e} {feas['z']:9.2e} {tau:9.2e} "
-                      f"{kap:9.2e} {mu:9.2e} {prox:9.2e}")
+                      f"{kap:9.2e} {mu:9.2e} {self.worst_dir_res:8.1e} "
+                      f"{prox:8.1e} {step_name:>5} {prev_alpha:9.2e}")
 
             # improvement metric (`Solvers.jl:460-476`)
             improv = 0.0
@@ -423,6 +429,8 @@ class Solver:
             infoh = jax.device_get(info)
             found = bool(infoh["found"])
             prox = float(infoh["prox"])
+            prev_alpha = float(infoh["alpha"])
+            prev_mode = int(infoh["mode"])
             self.worst_dir_res = max(self.worst_dir_res,
                                      float(infoh["worst_dir_res"]))
             timers["step"] += time.time() - t0

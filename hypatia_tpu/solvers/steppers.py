@@ -207,6 +207,11 @@ def make_candidate(ctx, pt, dirs, alpha, mode, full=False):
             v = v + alpha * dirs["cent"][key]
         elif mode == 4:
             v = v + alpha * dirs["cent"][key] + alpha**2 * dirs["centadj"][key]
+        elif mode == 5:
+            # two-search adjustment: adj factor alpha * unadj_alpha
+            # (`predorcent.jl:185-199`, non-curve branch)
+            v = (v + alpha * dirs["cent"][key]
+                 + alpha * dirs["unadj_alpha"] * dirs["centadj"][key])
         else:
             raise ValueError(mode)
         out[key] = v
@@ -329,19 +334,37 @@ def step_predorcent(ctx, data, pt, residuals, res_norm_cutoff, is_pred):
         dir_adj, rn2 = getdir(rhs_adj)
         worst_dir_res = jnp.maximum(rn1, rn2)
         dirs = {"cent": dir_noadj, "centadj": dir_adj,
-                "pred": dir_noadj, "predadj": dir_adj}
-        modes = (4, 3)  # curve search with adjustment, then unadjusted
+                "pred": dir_noadj, "predadj": dir_adj,
+                "unadj_alpha": jnp.zeros((), dtype=ctx.dtype)}
+        if ctx.use_curve_search:
+            modes = (4, 3)  # curve search with adjustment, then unadjusted
+        else:
+            modes = None  # two-search logic below
     else:
         worst_dir_res = rn1
         dirs = {"cent": dir_noadj, "centadj": dir_noadj,
-                "pred": dir_noadj, "predadj": dir_noadj}
+                "pred": dir_noadj, "predadj": dir_noadj,
+                "unadj_alpha": jnp.zeros((), dtype=ctx.dtype)}
         modes = (3,)
 
-    found, alpha, proxsqr, mode = _search_cascade(ctx, pt, dirs, modes)
+    if modes is not None:
+        found, alpha, proxsqr, mode = _search_cascade(ctx, pt, dirs, modes)
+    else:
+        # two line searches (`predorcent.jl:108-146`): first unadjusted,
+        # then adjusted with factor alpha * unadj_alpha; fall back to the
+        # unadjusted result if the adjusted search fails
+        found_u, alpha_u, prox_u = search_alpha(ctx, pt, dirs, 3)
+        dirs["unadj_alpha"] = alpha_u
+        found_a, alpha_a, prox_a = search_alpha(ctx, pt, dirs, 5)
+        use_adj = found_u & found_a
+        found = found_u
+        alpha = jnp.where(use_adj, alpha_a, alpha_u)
+        proxsqr = jnp.where(use_adj, prox_a, prox_u)
+        mode = jnp.where(use_adj, 5, 3)
 
     branches = [
         lambda m=m: make_candidate(ctx, pt, dirs, alpha, m, full=True)
-        for m in range(5)
+        for m in range(6)
     ]
     new_pt = jax.lax.switch(mode, branches)
     new_pt = jax.tree_util.tree_map(
