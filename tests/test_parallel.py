@@ -58,3 +58,13 @@ def test_solve_batch_socp():
     results = solve_batch(models)
     for res in results:
         assert res["status"] == "Optimal", res
+
+
+def test_sharded_schur_assembly():
+    """Row-sharded Schur assembly + psum matches the replicated result."""
+    from hypatia_tpu.parallel import demo_sharded_kkt_step
+
+    n_dev = len(jax.devices())
+    sol, ref = demo_sharded_kkt_step(n_dev, n=16, q=16 * n_dev)
+    assert ref is not None
+    np.testing.assert_allclose(sol, ref, rtol=1e-9, atol=1e-9)
