@@ -69,6 +69,21 @@ def main():
     ]
     if os.environ.get("BENCH_FAST"):
         configs = configs[:1]
+
+    # batched-instance throughput: the TPU-native scaling mode
+    def run_batch(nb=32, m=64, n=128):
+        from hypatia_tpu.parallel import solve_batch
+        models = [examples.linearopt.build(m=m, n=n, seed=s)
+                  for s in range(nb)]
+        solve_batch(models[:2], solver_options=dict(default_tol_relax=10))
+        t0 = time.time()
+        res = solve_batch(models, solver_options=dict(default_tol_relax=10))
+        wall = time.time() - t0
+        tot_iters = sum(r["num_iters"] for r in res)
+        n_opt = sum(r["status"] == "Optimal" for r in res)
+        return {"batch": nb, "optimal": n_opt,
+                "total_iters": tot_iters, "solve_s": round(wall, 3),
+                "agg_iters_per_s": round(tot_iters / wall, 1)}
     import sys
     per_config = {}
     for name, mod, params in configs:
@@ -80,6 +95,14 @@ def main():
             per_config[name] = {"status": f"ERROR: {type(e).__name__}: {e}"}
         print(f"[bench] {name} done in {time.time()-t0:.1f}s: "
               f"{per_config[name]}", file=sys.stderr, flush=True)
+
+    print("[bench] batch32 ...", file=sys.stderr, flush=True)
+    try:
+        per_config["batch32_lp128"] = run_batch()
+    except Exception as e:
+        per_config["batch32_lp128"] = {"status": f"ERROR: {e}"}
+    print(f"[bench] batch32 done: {per_config['batch32_lp128']}",
+          file=sys.stderr, flush=True)
 
     primary = per_config.get("linearopt", {})
     iters_per_s = primary.get("iters_per_s", 0.0)

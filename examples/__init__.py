@@ -9,6 +9,7 @@ mirroring the reference's `*_test.jl` instance sets.
 from examples import (
     linearopt, portfolio, doptimaldesign, polymin, relentrentanglement,
     maxvolume, matrixcompletion, discretemaxlikelihood, covarianceest,
+    densityest,
 )
 from examples.common import run_instance
 
@@ -22,4 +23,5 @@ FAMILIES = {
     "matrixcompletion": matrixcompletion,
     "discretemaxlikelihood": discretemaxlikelihood,
     "covarianceest": covarianceest,
+    "densityest": densityest,
 }

@@ -298,44 +298,36 @@ class HypoRootdetTri(_MatrixMixin, ZetaCone):
         return -_chol_logdet(L)
 
     def point_aux(self, s):
-        """Closed-form Mw: in W's rotated-svec eigenbasis,
-        hess(xi) = (phi/d^2) vv' - (phi/d) Winv (x) Winv with
-        v = svec(W^-1), so Mw = hess(phi) - hess(xi)/zeta is
-        (1 + phi/(d zeta)) Winv(x)Winv minus a rank-1 term — assembled
-        directly (no traced jax.hessian; compile-light and exact)."""
-        from hypatia_tpu.ops import spectral
-
+        """Closed-form Mw: hess(xi) = (phi/d^2) vv' - (phi/d) Winv (x) Winv
+        with v = svec(W^-1), so Mw = hess(phi) - hess(xi)/zeta is
+        (1 + phi/(d zeta)) Winv(x)Winv minus a rank-1 term.  Assembled with
+        Cholesky only (eigh-free: TPU f64 eigh programs are very expensive
+        to compile, and every instance would be replicated across the
+        vmapped line search)."""
         u, w = s[0], s[1:]
         W = self._smat(w)
-        lam, Q = jnp.linalg.eigh(W)
+        Lc = jnp.linalg.cholesky(W)
         d = self.d
-        phi = jnp.exp(jnp.sum(jnp.log(lam)) / d)
+        phi = jnp.exp(2 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(Lc)))) / d)
         zeta = phi - u
         n = self.dim - 1
-        R = spectral.svec_rotation(Q, self._svec, self._smat, n)
-        rows_cols = self._pack_pattern(n)
-        pack_winv2 = 1.0 / (lam[rows_cols[0]] * lam[rows_cols[1]])
-        winv_svec_rot = jnp.zeros(n, dtype=jnp.float64)
-        diag = self._diag_svec_idxs(n)
-        winv_svec_rot = winv_svec_rot.at[diag].set(1.0 / lam)
+        eye = jnp.eye(self.side, dtype=W.dtype)
+        Winv = linalg.cho_solve(Lc, eye)
+        winv_svec = self._svec(Winv)
+        # materialize the operator B -> Winv B Winv in svec coordinates
+        basis = jax.vmap(self._smat)(jnp.eye(n, dtype=jnp.float64))
+        WiBWi = jnp.einsum("ab,nbc,cd->nad", Winv, basis.astype(W.dtype),
+                           Winv)
+        Kw = jax.vmap(self._svec)(WiBWi).T  # (n, n): Winv (x) Winv
         coeff = 1.0 + phi / (d * zeta)
-        Mw_rot = jnp.diag(coeff * pack_winv2) - (phi / (d * d * zeta)) * \
-            jnp.outer(winv_svec_rot, winv_svec_rot)
-        Mw = R.T @ Mw_rot @ R
+        Mw = coeff * Kw - (phi / (d * d * zeta)) * \
+            jnp.outer(winv_svec, winv_svec)
         Lw, ok = linalg.cholesky_shifted((Mw + Mw.T) / 2)
-        grad_xi_rot = (phi / d) * winv_svec_rot
-        grad_xi = R.T @ grad_xi_rot
+        grad_xi = (phi / d) * winv_svec
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
         return {"zeta": zeta, "a": a, "b": b, "Mw_chol": Lw, "Mw_ok": ok,
                 "grad_xi": grad_xi}
-
-    def _pack_pattern(self, n):
-        if self.is_complex:
-            kind, rows, cols = _herm_svec_indices(self.side)
-            return rows, cols
-        rows, cols, _ = _svec_indices(self.side)
-        return rows, cols
 
     def feas(self, s):
         ok, L = _psd_feas(self._smat(s[1:]))
@@ -403,48 +395,36 @@ class HypoPerLogdetTri(_MatrixMixin, ZetaCone):
         return -_chol_logdet(L) - jnp.log(v)
 
     def point_aux(self, s):
-        """Closed-form Mw over wbar = (v, svec W): hess(xi) has
+        """Closed-form arrow Mw over wbar = (v, svec W): hess(xi) has
         WW block -v Winv(x)Winv, vW border svec(W^-1), vv -d/v; with
-        hess(phi) = blkdiag(1/v^2, Winv(x)Winv) this gives the arrow matrix
-        assembled directly in W's rotated-svec eigenbasis (no traced
-        jax.hessian)."""
-        from hypatia_tpu.ops import spectral
-
+        hess(phi) = blkdiag(1/v^2, Winv(x)Winv). Cholesky-only assembly
+        (eigh-free; see HypoRootdetTri.point_aux)."""
         u, v, w = s[0], s[1], s[2:]
         W = self._smat(w)
-        lam, Q = jnp.linalg.eigh(W)
+        Lc = jnp.linalg.cholesky(W)
         d = self.d
-        logdet = jnp.sum(jnp.log(lam))
+        logdet = 2 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(Lc))))
         xi = v * (logdet - d * jnp.log(v))
         zeta = xi - u
         n = self.dim - 2
-        R = spectral.svec_rotation(Q, self._svec, self._smat, n)
-        if self.is_complex:
-            kind, rows, cols = _herm_svec_indices(self.side)
-        else:
-            rows, cols, _ = _svec_indices(self.side)
-        pack_winv2 = 1.0 / (lam[rows] * lam[cols])
-        diag = self._diag_svec_idxs(n)
-        winv_rot = jnp.zeros(n, dtype=jnp.float64)
-        winv_rot = winv_rot.at[diag].set(1.0 / lam)
-        # Mw (arrow): vv, vW border, WW diag — in rotated coords
+        eye = jnp.eye(self.side, dtype=W.dtype)
+        Winv = linalg.cho_solve(Lc, eye)
+        winv_svec = self._svec(Winv)
+        basis = jax.vmap(self._smat)(jnp.eye(n, dtype=jnp.float64))
+        WiBWi = jnp.einsum("ab,nbc,cd->nad", Winv, basis.astype(W.dtype),
+                           Winv)
+        Kw = jax.vmap(self._svec)(WiBWi).T
         mvv = 1.0 / v**2 + d / (v * zeta)
-        mvw_rot = -winv_rot / zeta
-        dww = (1.0 + v / zeta) * pack_winv2
-        Mw_rot = jnp.zeros((1 + n, 1 + n), dtype=jnp.float64)
-        Mw_rot = Mw_rot.at[0, 0].set(mvv)
-        Mw_rot = Mw_rot.at[0, 1:].set(mvw_rot)
-        Mw_rot = Mw_rot.at[1:, 0].set(mvw_rot)
-        Mw_rot = Mw_rot.at[1:, 1:].set(jnp.diag(dww))
-        Rfull = jnp.zeros((1 + n, 1 + n), dtype=jnp.float64)
-        Rfull = Rfull.at[0, 0].set(1.0)
-        Rfull = Rfull.at[1:, 1:].set(R)
-        Mw = Rfull.T @ Mw_rot @ Rfull
+        mvw = -winv_svec / zeta
+        Mww = (1.0 + v / zeta) * Kw
+        Mw = jnp.zeros((1 + n, 1 + n), dtype=jnp.float64)
+        Mw = Mw.at[0, 0].set(mvv)
+        Mw = Mw.at[0, 1:].set(mvw)
+        Mw = Mw.at[1:, 0].set(mvw)
+        Mw = Mw.at[1:, 1:].set(Mww)
         Lw, ok = linalg.cholesky_shifted((Mw + Mw.T) / 2)
-        # grad xi over (v, w): (logdet - d log v - d, v svec(W^-1))
-        grad_xi_w = R.T @ (v * winv_rot)
         grad_xi = jnp.concatenate([
-            (logdet - d * jnp.log(v) - d)[None], grad_xi_w])
+            (logdet - d * jnp.log(v) - d)[None], v * winv_svec])
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
         return {"zeta": zeta, "a": a, "b": b, "Mw_chol": Lw, "Mw_ok": ok,

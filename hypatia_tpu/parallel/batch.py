@@ -36,18 +36,22 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         assert m.n == m0.n and m.p == m0.p and m.q == m0.q
         assert len(m.cones) == len(m0.cones)
 
-    # host-side preprocessing per instance (cheap, runs once); batching
-    # requires consistent reduced dims, so preprocessing/reduction is
-    # disabled and the symindef path (no QR preprocessing) is used
-    solver_options.update(preprocess=False, reduce=False, rescale=False,
-                          syssolver="symindef")
-    ref_solver = Solver(**solver_options)
+    # batching requires consistent dims across instances, so rank-reducing
+    # preprocessing is disabled; the qrchol path works with per-instance
+    # host QR of A' (stacked), symindef needs nothing
+    syssolver = solver_options.pop("syssolver", "qrchol")
+    assert syssolver in ("qrchol", "symindef")
+    solver_options.update(preprocess=False, reduce=False, rescale=False)
+    ref_solver = Solver(preprocess=(syssolver == "qrchol"),
+                        **{k: v for k, v in solver_options.items()
+                           if k not in ("preprocess",)})
+    ref_solver.preprocess = False
 
     ctx = StepContext(
         cones=tuple(m0.cones), cone_idxs=tuple(m0.cone_idxs),
         n=m0.n, p=m0.p, q=m0.q, nu=m0.nu,
         dtype=jnp.dtype(np.float64),
-        syssolver="symindef",
+        syssolver=syssolver,
         stepper=ref_solver.stepper,
         max_ref_steps=ref_solver.max_ref_steps,
         **ref_solver.stepper_opts,
@@ -58,6 +62,24 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         return jnp.asarray(np.stack([getattr(m, key) for m in models]))
 
     data_b = {k: stack(k) for k in ("c", "A", "b", "G", "h")}
+    if syssolver == "qrchol":
+        import scipy.linalg
+
+        if m0.p > 0:
+            Qs, Rs, GQ1s, GQ2s = [], [], [], []
+            for m in models:
+                Q, R = scipy.linalg.qr(m.A.T, mode="full")
+                GQ = m.G @ Q
+                Qs.append(Q)
+                Rs.append(R[:m0.p, :m0.p])
+                GQ1s.append(GQ[:, :m0.p])
+                GQ2s.append(GQ[:, m0.p:])
+            data_b["Ap_Q"] = jnp.asarray(np.stack(Qs))
+            data_b["Ap_R"] = jnp.asarray(np.stack(Rs))
+            data_b["GQ1"] = jnp.asarray(np.stack(GQ1s))
+            data_b["GQ2"] = jnp.asarray(np.stack(GQ2s))
+        else:
+            data_b["GQ2"] = data_b["G"]
 
     # initial points
     init_z = np.zeros((nb, m0.q))
