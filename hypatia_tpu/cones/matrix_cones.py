@@ -322,12 +322,13 @@ class HypoRootdetTri(_MatrixMixin, ZetaCone):
         coeff = 1.0 + phi / (d * zeta)
         Mw = coeff * Kw - (phi / (d * d * zeta)) * \
             jnp.outer(winv_svec, winv_svec)
-        Lw, ok = linalg.cholesky_shifted((Mw + Mw.T) / 2)
+        Mw = (Mw + Mw.T) / 2
+        Lw, ok = linalg.cholesky_shifted(Mw)
         grad_xi = (phi / d) * winv_svec
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
-        return {"zeta": zeta, "a": a, "b": b, "Mw_chol": Lw, "Mw_ok": ok,
-                "grad_xi": grad_xi}
+        return {"zeta": zeta, "a": a, "b": b, "Mw": Mw, "Mw_chol": Lw,
+                "Mw_ok": ok, "grad_phi": -winv_svec}
 
     def feas(self, s):
         ok, L = _psd_feas(self._smat(s[1:]))
@@ -422,13 +423,15 @@ class HypoPerLogdetTri(_MatrixMixin, ZetaCone):
         Mw = Mw.at[0, 1:].set(mvw)
         Mw = Mw.at[1:, 0].set(mvw)
         Mw = Mw.at[1:, 1:].set(Mww)
-        Lw, ok = linalg.cholesky_shifted((Mw + Mw.T) / 2)
+        Mw = (Mw + Mw.T) / 2
+        Lw, ok = linalg.cholesky_shifted(Mw)
         grad_xi = jnp.concatenate([
             (logdet - d * jnp.log(v) - d)[None], v * winv_svec])
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
-        return {"zeta": zeta, "a": a, "b": b, "Mw_chol": Lw, "Mw_ok": ok,
-                "grad_xi": grad_xi}
+        grad_phi = jnp.concatenate([(-1.0 / v)[None], -winv_svec])
+        return {"zeta": zeta, "a": a, "b": b, "Mw": Mw, "Mw_chol": Lw,
+                "Mw_ok": ok, "grad_phi": grad_phi}
 
     def feas(self, s):
         u, v, w = s[0], s[1], s[2:]

@@ -17,6 +17,7 @@ Cones here:
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hypatia_tpu.cones.base import Cone
@@ -108,16 +109,28 @@ class EpiPerSquare(Cone):
 
 
 class EpiNormInf(Cone):
-    """(u, w): u >= ||w||_inf (real case).
+    """(u, w): u >= ||w||_inf (real or complex w).
 
-    Barrier sum_i -log(u^2 - w_i^2) + (d-1) log u, nu = d+1
-    (`epinorminf.jl:1-60`). Dual cone is the l_1 epigraph.
+    Barrier sum_i -log(u^2 - |w_i|^2) + (d-1) log u, nu = d+1
+    (`epinorminf.jl:1-60`). Dual cone is the l_1 epigraph. Closed-form
+    **arrow-structured** Hessian and O(d) Schur-complement inverse
+    (`epinorminf.jl:28-42, 298-311` semantics). Complex entries are stored
+    interleaved (re, im); dim = 1 + 2d.
     """
 
-    def __init__(self, dim: int, use_dual: bool = False):
+    def __init__(self, dim: int, is_complex: bool = False,
+                 use_dual: bool = False):
         assert dim >= 2
         super().__init__(dim, use_dual)
-        self.d = dim - 1
+        self.is_complex = bool(is_complex)
+        if is_complex:
+            assert (dim - 1) % 2 == 0
+            self.d = (dim - 1) // 2
+        else:
+            self.d = dim - 1
+
+    def params_key(self):
+        return (self.is_complex,)
 
     @property
     def nu(self):
@@ -128,23 +141,135 @@ class EpiNormInf(Cone):
         pt[0] = np.sqrt(self.nu)
         return pt
 
+    def _absw2(self, w):
+        if self.is_complex:
+            return w[0::2] ** 2 + w[1::2] ** 2
+        return w * w
+
     def barrier(self, s):
         u, w = s[0], s[1:]
-        return -jnp.sum(jnp.log(u * u - w * w)) + (self.d - 1) * jnp.log(u)
+        return (-jnp.sum(jnp.log(u * u - self._absw2(w)))
+                + (self.d - 1) * jnp.log(u))
 
     def feas(self, s):
         u, w = s[0], s[1:]
-        return (u > _eps(s)) & (u - jnp.max(jnp.abs(w)) > _eps(s))
+        return (u > _eps(s)) & (u * u - jnp.max(self._absw2(w)) > _eps(s))
 
     def dual_feas(self, z):
-        return (z[0] > _eps(z)) & (z[0] - jnp.sum(jnp.abs(z[1:])) > _eps(z))
+        norm1 = jnp.sum(jnp.sqrt(self._absw2(z[1:])))
+        return (z[0] > _eps(z)) & (z[0] - norm1 > _eps(z))
 
     def grad(self, s, aux=None):
         u, w = s[0], s[1:]
-        den = u * u - w * w
+        den = u * u - self._absw2(w)
         gu = -jnp.sum(2 * u / den) + (self.d - 1) / u
-        gw = 2 * w / den
+        if self.is_complex:
+            deni = jnp.repeat(den, 2)
+        else:
+            deni = den
+        gw = 2 * w / deni
         return jnp.concatenate([gu[None], gw])
+
+    def point_aux(self, s):
+        """Arrow Hessian entries: Huu, border Hui, diagonal Hii (complex:
+        2x2 blocks per entry, still closed-form invertible)."""
+        u, w = s[0], s[1:]
+        den = u * u - self._absw2(w)
+        Huu = jnp.sum(2 * (u * u + self._absw2(w)) / den**2) \
+            - (self.d - 1) / u**2
+        if self.is_complex:
+            deni = jnp.repeat(den, 2)
+        else:
+            deni = den
+        Hui = -4 * u * w / deni**2
+        # H_wi_wj within an entry: 2/den delta + 4 wi wj / den^2
+        return {"den": den, "deni": deni, "u": u, "w": w,
+                "Huu": Huu, "Hui": Hui}
+
+    def _get_aux(self, s, aux):
+        if aux is None or "Hui" not in aux:
+            return self.point_aux(s)
+        return aux
+
+    def _wblock_prod(self, aux, vw):
+        """(H restricted to w coords) @ vw: diag 2/den + 4 w w'/den^2 with
+        the rank-1 coupling only within each complex entry."""
+        w, deni = aux["w"], aux["deni"]
+        base = 2 * vw / deni
+        if self.is_complex:
+            # within-entry coupling: (w_re, w_im) outer product
+            wr, wi_ = w[0::2], w[1::2]
+            vr, vi = vw[0::2], vw[1::2]
+            dots = wr * vr + wi_ * vi
+            den = aux["den"]
+            extra = 4 * dots / den**2
+            out = base.at[0::2].add(extra * wr)
+            out = out.at[1::2].add(extra * wi_)
+            return out
+        return base + 4 * w * (w * vw) / deni**2
+
+    def hess_prod(self, s, arr, aux=None):
+        aux = self._get_aux(s, aux)
+        one_d = arr.ndim == 1
+        A = arr[:, None] if one_d else arr
+        du, dw = A[0, :], A[1:, :]
+        Huu, Hui = aux["Huu"], aux["Hui"]
+        Hu = Huu * du + Hui @ dw
+        Hw = jnp.outer(Hui, du) + jax.vmap(
+            lambda v: self._wblock_prod(aux, v), in_axes=1, out_axes=1)(dw)
+        out = jnp.concatenate([Hu[None, :], Hw], axis=0)
+        return out[:, 0] if one_d else out
+
+    def hess(self, s, aux=None):
+        eye = jnp.eye(self.dim, dtype=jnp.float64)
+        return self.hess_prod(s, eye, aux)
+
+    def inv_hess_prod(self, s, arr, aux=None):
+        """Arrow inverse via Schur complement on u, in the analytically
+        simplified cancellation-free forms of `epinorminf.jl:298-311`:
+        schur = (1-d)/u^2 + sum 2/(u^2+|wj|^2),
+        Winv Hui = -2 u wj / (u^2+|wj|^2)."""
+        aux = self._get_aux(s, aux)
+        one_d = arr.ndim == 1
+        A = arr[:, None] if one_d else arr
+        ru, rw = A[0, :], A[1:, :]
+        u, w, den = aux["u"], aux["w"], aux["den"]
+        u2pw2 = u * u + self._absw2(w)
+        if self.is_complex:
+            u2pw2i = jnp.repeat(u2pw2, 2)
+        else:
+            u2pw2i = u2pw2
+        Hui = aux["Hui"]
+        Winv_hui = -2 * u * w / u2pw2i
+        schur = (1 - self.d) / u**2 + jnp.sum(2.0 / u2pw2)
+        solve_w = lambda v: self._wblock_solve(aux, v)
+        Winv_rw = jax.vmap(solve_w, in_axes=1, out_axes=1)(rw)
+        xu = (ru - Winv_hui @ rw) / schur
+        xw = Winv_rw - jnp.outer(Winv_hui, xu)
+        out = jnp.concatenate([xu[None, :], xw], axis=0)
+        return out[:, 0] if one_d else out
+
+    def _wblock_solve(self, aux, rw):
+        """Solve (diag(2/den) + within-entry 4 ww'/den^2) x = rw, O(d)."""
+        w, deni, den = aux["w"], aux["deni"], aux["den"]
+        if self.is_complex:
+            wr, wi_ = w[0::2], w[1::2]
+            rr, ri = rw[0::2], rw[1::2]
+            a_d = 2 / den          # block diagonal scalar
+            c = 4 / den**2
+            vdotr = wr * rr + wi_ * ri
+            denom = a_d + c * (wr**2 + wi_**2)
+            # Sherman-Morrison: x = r/a - (c (v.r) / (a (a + c|v|^2))) v
+            corr = c * vdotr / (a_d * denom)
+            out = jnp.zeros_like(rw)
+            out = out.at[0::2].set(rr / a_d - corr * wr)
+            out = out.at[1::2].set(ri / a_d - corr * wi_)
+            return out
+        a_d = 2 / deni
+        c = 4 / deni**2
+        denom = a_d + c * w * w
+        corr = c * (w * rw) / (a_d * denom)
+        return rw / a_d - corr * w
 
 
 class GeneralizedPower(Cone):

@@ -68,8 +68,8 @@ class ZetaCone(Cone):
         # v = grad(-log zeta) direction: a = dF_zeta du etc.
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
-        return {"zeta": zeta, "a": a, "b": b, "Mw_chol": Lw, "Mw_ok": ok,
-                "grad_xi": grad_xi}
+        return {"zeta": zeta, "a": a, "b": b, "Mw": Mw, "Mw_chol": Lw,
+                "Mw_ok": ok, "grad_phi": jax.grad(self.phi)(w)}
 
     # -- oracles ------------------------------------------------------------
 
@@ -91,7 +91,35 @@ class ZetaCone(Cone):
         eye = jnp.eye(self.dim, dtype=s.dtype)
         return self.inv_hess_prod(s, eye, aux)
 
+    def grad(self, s, aux=None):
+        """grad F = -v + grad(phi) with v = (a, b) — pure aux lookups (no
+        traced autodiff at the call site: TPU compile-size matters)."""
+        if aux is None or "grad_phi" not in aux:
+            aux = self.point_aux(s)
+        return jnp.concatenate([(-aux["a"])[None], -aux["b"] + aux["grad_phi"]])
+
     def hess_prod(self, s, arr, aux=None):
-        # autodiff hvp is numerically fine (the unstable direction appears
-        # only as an explicit rank-1 term); keep base implementation
-        return super().hess_prod(s, arr, aux)
+        """H = v v' + blkdiag(0, Mw) with materialized Mw — matmuls only."""
+        if aux is None or "Mw" not in aux:
+            aux = self.point_aux(s)
+        a, b, Mw = aux["a"], aux["b"], aux["Mw"]
+        one_d = arr.ndim == 1
+        A = arr[:, None] if one_d else arr
+        d_u, d_w = A[0, :], A[1:, :]
+        vdot = a * d_u + b @ d_w
+        H_u = a * vdot
+        H_w = jnp.outer(b, vdot) + Mw @ d_w
+        out = jnp.concatenate([H_u[None, :], H_w], axis=0)
+        return out[:, 0] if one_d else out
+
+    def hess(self, s, aux=None):
+        eye = jnp.eye(self.dim, dtype=s.dtype)
+        return self.hess_prod(s, eye, aux)
+
+    def dder3(self, s, d, aux=None):
+        # third-order directly from the barrier (the aux-based hess_prod is
+        # not a pure function of s, so differentiate the barrier itself)
+        def barrier_hvp(x):
+            return jax.jvp(jax.grad(self.barrier), (x,), (d,))[1]
+
+        return -0.5 * jax.jvp(barrier_hvp, (s,), (d,))[1]

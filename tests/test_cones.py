@@ -27,6 +27,7 @@ def oracle_cones():
         cones.EpiPerSquare(6),
         cones.EpiNormInf(4),
         cones.EpiNormInf(4, use_dual=True),
+        cones.EpiNormInf(7, is_complex=True),
         cones.GeneralizedPower([0.25, 0.75], 2),
         cones.GeneralizedPower([0.5, 0.5], 3, use_dual=True),
         cones.HypoGeoMean(4),
