@@ -9,7 +9,7 @@ mirroring the reference's `*_test.jl` instance sets.
 from examples import (
     linearopt, portfolio, doptimaldesign, polymin, relentrentanglement,
     maxvolume, matrixcompletion, discretemaxlikelihood, covarianceest,
-    densityest,
+    densityest, nearestpsd, experimentdesign,
 )
 from examples.common import run_instance
 
@@ -24,4 +24,6 @@ FAMILIES = {
     "discretemaxlikelihood": discretemaxlikelihood,
     "covarianceest": covarianceest,
     "densityest": densityest,
+    "nearestpsd": nearestpsd,
+    "experimentdesign": experimentdesign,
 }
