@@ -128,53 +128,30 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
                               for m in models)),
     }
 
-    def one_iter(data, pt, done):
-        conv = calc_convergence(ctx, data, conv_tols, pt)
-        residuals = {"x": conv["x"], "y": conv["y"], "z": conv["z"],
-                     "tau": conv["tau_residual"]}
-        cutoff = 1e-4 * jnp.maximum(
-            jnp.maximum(conv["x_norm_res"], conv["y_norm_res"]),
-            jnp.maximum(conv["z_norm_res"], jnp.abs(conv["tau_residual"])))
-        new_pt, info = steppers.step_combined(ctx, data, pt, residuals,
-                                              cutoff)
-        # freeze finished instances
-        frozen = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(done, old, new), new_pt, pt)
-        return frozen, conv, info
+    # fully fused batched solve: vmap of the on-device while_loop (JAX
+    # lifts the loop to run until every instance's cond is false, masking
+    # per-lane updates) — ONE device call for the whole batch
+    from hypatia_tpu.solvers import fused
 
-    iter_b = jax.jit(jax.vmap(one_iter, in_axes=(0, 0, 0)))
+    tols = {
+        "tol_feas": jnp.asarray(ref_solver.tol_feas),
+        "tol_rel_opt": jnp.asarray(ref_solver.tol_rel_opt),
+        "tol_abs_opt": jnp.asarray(ref_solver.tol_abs_opt),
+        "tol_infeas": jnp.asarray(ref_solver.tol_infeas),
+        "tol_illposed": jnp.asarray(ref_solver.tol_illposed),
+    }
 
-    eps = dtype_eps(np.float64)
-    tol_feas = ref_solver.tol_feas
-    tol_rel = ref_solver.tol_rel_opt
-    tol_abs = ref_solver.tol_abs_opt
+    @jax.jit
+    def solve_all(data_b, pt_b):
+        return jax.vmap(
+            lambda d, p: fused.fused_solve(ctx, d, conv_tols, tols, p,
+                                           iter_limit))(data_b, pt_b)
 
-    done = jnp.zeros(nb, dtype=bool)
-    statuses = ["IterationLimit"] * nb
-    iters = np.zeros(nb, dtype=int)
-    for it in range(iter_limit):
-        pt_b, conv, info = iter_b(data_b, pt_b, done)
-        feas = jnp.maximum(jnp.maximum(conv["x_feas"], conv["y_feas"]),
-                           conv["z_feas"])
-        is_feas = feas <= tol_feas
-        gap = conv["gap"]
-        tau = conv["tau"]
-        pobj_t, dobj_t = conv["primal_obj_t"], conv["dual_obj_t"]
-        rel_ok = (jnp.minimum(gap / tau, jnp.abs(pobj_t - dobj_t))
-                  <= tol_rel * jnp.maximum(
-                      tau, jnp.minimum(jnp.abs(pobj_t), jnp.abs(dobj_t))))
-        optimal = is_feas & ((gap <= tol_abs) | rel_ok)
-        newly = np.asarray(optimal & ~done)
-        for i in np.nonzero(newly)[0]:
-            statuses[i] = "Optimal"
-            iters[i] = it
-        failed = np.asarray(~np.asarray(info["found"]) & ~np.asarray(done))
-        for i in np.nonzero(failed)[0]:
-            statuses[i] = "NumericalFailure"
-            iters[i] = it
-        done = done | optimal | jnp.asarray(failed)
-        if bool(jnp.all(done)):
-            break
+    pt_b, status_b, iters_b, _, _ = solve_all(data_b, pt_b)
+    status_b = np.asarray(status_b)
+    iters = np.asarray(iters_b)
+    statuses = [fused.STATUS_CODES.get(int(code), "UnknownStatus")
+                for code in status_b]
 
     conv = jax.jit(jax.vmap(
         lambda d, p: calc_convergence(ctx, d, conv_tols, p)))(data_b, pt_b)
