@@ -9,7 +9,8 @@ mirroring the reference's `*_test.jl` instance sets.
 from examples import (
     linearopt, portfolio, doptimaldesign, polymin, relentrentanglement,
     maxvolume, matrixcompletion, discretemaxlikelihood, covarianceest,
-    densityest, nearestpsd, experimentdesign,
+    densityest, nearestpsd, experimentdesign, conditionnum,
+    lyapunovstability,
 )
 from examples.common import run_instance
 
@@ -26,4 +27,6 @@ FAMILIES = {
     "densityest": densityest,
     "nearestpsd": nearestpsd,
     "experimentdesign": experimentdesign,
+    "conditionnum": conditionnum,
+    "lyapunovstability": lyapunovstability,
 }
