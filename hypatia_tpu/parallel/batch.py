@@ -143,11 +143,24 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
 
     @jax.jit
     def solve_all(data_b, pt_b):
-        return jax.vmap(
-            lambda d, p: fused.fused_solve(ctx, d, conv_tols, tols, p,
-                                           iter_limit))(data_b, pt_b)
+        # batched while_loop with vmapped BODY (vmapping the whole
+        # while_loop is too heavy for the TPU compiler): one device call,
+        # loop runs until every instance terminates
+        body_fn = fused.make_body(ctx, conv_tols, tols)
+        batched_body = jax.vmap(body_fn, in_axes=(0, 0))
 
-    pt_b, status_b, iters_b, _, _ = solve_all(data_b, pt_b)
+        def cond(carry):
+            return jnp.any((carry["status"] == 0) & (carry["it"] < iter_limit))
+
+        def body(carry):
+            return batched_body(data_b, carry)
+
+        carry0 = jax.vmap(lambda p: fused.init_carry(ctx, p))(pt_b)
+        out = jax.lax.while_loop(cond, body, carry0)
+        status = jnp.where(out["status"] == 0, 6, out["status"])
+        return out["pt"], status, out["it"]
+
+    pt_b, status_b, iters_b = solve_all(data_b, pt_b)
     status_b = np.asarray(status_b)
     iters = np.asarray(iters_b)
     statuses = [fused.STATUS_CODES.get(int(code), "UnknownStatus")

@@ -60,17 +60,13 @@ def check_convergence_device(ctx, tols, conv):
     return status.astype(jnp.int32)
 
 
-def fused_solve(ctx, data, conv_tols, tols, pt0, iter_limit, tol_slow=1e-3):
-    """Run the IPM to termination in one on-device while_loop.
-
-    Returns (pt, status_code, num_iters, final_conv dict).
-    """
+def make_body(ctx, conv_tols, tols, tol_slow=1e-3):
+    """One fused IPM iteration as a pure carry -> carry function over
+    (data, carry); reused by the single-instance loop and the batched
+    (vmapped-body) loop."""
     from hypatia_tpu.solvers.solver import calc_convergence
 
-    def cond(carry):
-        return (carry["status"] == 0) & (carry["it"] < iter_limit)
-
-    def body(carry):
+    def body(data, carry):
         pt = carry["pt"]
         conv = calc_convergence(ctx, data, conv_tols, pt)
 
@@ -126,7 +122,11 @@ def fused_solve(ctx, data, conv_tols, tols, pt0, iter_limit, tol_slow=1e-3):
             "worst_dir_res": jnp.maximum(carry["worst_dir_res"], wdr),
         }
 
-    carry0 = {
+    return body
+
+
+def init_carry(ctx, pt0):
+    return {
         "pt": pt0,
         "status": jnp.zeros((), dtype=jnp.int32),
         "it": jnp.zeros((), dtype=jnp.int32),
@@ -135,6 +135,23 @@ def fused_solve(ctx, data, conv_tols, tols, pt0, iter_limit, tol_slow=1e-3):
         "prev2_slow": jnp.asarray(False),
         "worst_dir_res": jnp.zeros((), dtype=ctx.dtype),
     }
+
+
+def fused_solve(ctx, data, conv_tols, tols, pt0, iter_limit, tol_slow=1e-3):
+    """Run the IPM to termination in one on-device while_loop.
+
+    Returns (pt, status_code, num_iters, final_conv dict)."""
+    from hypatia_tpu.solvers.solver import calc_convergence
+
+    body_fn = make_body(ctx, conv_tols, tols, tol_slow)
+
+    def cond(carry):
+        return (carry["status"] == 0) & (carry["it"] < iter_limit)
+
+    def body(carry):
+        return body_fn(data, carry)
+
+    carry0 = init_carry(ctx, pt0)
     out = jax.lax.while_loop(cond, body, carry0)
     status = jnp.where(out["status"] == 0, 6, out["status"])
     conv = calc_convergence(ctx, data, conv_tols, out["pt"])
