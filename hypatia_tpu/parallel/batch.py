@@ -143,9 +143,8 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
 
     @jax.jit
     def solve_all(data_b, pt_b):
-        # batched while_loop with vmapped BODY (vmapping the whole
-        # while_loop is too heavy for the TPU compiler): one device call,
-        # loop runs until every instance terminates
+        # batched while_loop with vmapped BODY: one device call, loop runs
+        # until every instance terminates
         body_fn = fused.make_body(ctx, conv_tols, tols)
         batched_body = jax.vmap(body_fn, in_axes=(0, 0))
 
@@ -160,7 +159,26 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         status = jnp.where(out["status"] == 0, 6, out["status"])
         return out["pt"], status, out["it"]
 
-    pt_b, status_b, iters_b = solve_all(data_b, pt_b)
+    @jax.jit
+    def one_step_all(data_b, carry):
+        body_fn = fused.make_body(ctx, conv_tols, tols)
+        return jax.vmap(body_fn, in_axes=(0, 0))(data_b, carry)
+
+    try:
+        pt_b, status_b, iters_b = solve_all(data_b, pt_b)
+    except Exception:
+        # the fully-fused batched loop can crash the TPU XLA compiler
+        # (memory-space-assignment bug); fall back to a host-driven loop
+        # over the same vmapped body (one device call per iteration)
+        carry = jax.jit(jax.vmap(
+            lambda p: fused.init_carry(ctx, p)))(pt_b)
+        for _ in range(iter_limit):
+            carry = one_step_all(data_b, carry)
+            if not bool(jnp.any(carry["status"] == 0)):
+                break
+        pt_b = carry["pt"]
+        status_b = jnp.where(carry["status"] == 0, 6, carry["status"])
+        iters_b = carry["it"]
     status_b = np.asarray(status_b)
     iters = np.asarray(iters_b)
     statuses = [fused.STATUS_CODES.get(int(code), "UnknownStatus")
