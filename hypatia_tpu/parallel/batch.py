@@ -164,21 +164,26 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         body_fn = fused.make_body(ctx, conv_tols, tols)
         return jax.vmap(body_fn, in_axes=(0, 0))(data_b, carry)
 
-    try:
-        pt_b, status_b, iters_b = solve_all(data_b, pt_b)
-    except Exception:
-        # the fully-fused batched loop can crash the TPU XLA compiler
-        # (memory-space-assignment bug); fall back to a host-driven loop
-        # over the same vmapped body (one device call per iteration)
+    def hostloop():
+        # host-driven loop over the vmapped body (one device call per
+        # iteration); used where the fused batched while_loop crashes the
+        # TPU XLA compiler (memory-space-assignment bug)
         carry = jax.jit(jax.vmap(
             lambda p: fused.init_carry(ctx, p)))(pt_b)
         for _ in range(iter_limit):
             carry = one_step_all(data_b, carry)
             if not bool(jnp.any(carry["status"] == 0)):
                 break
-        pt_b = carry["pt"]
-        status_b = jnp.where(carry["status"] == 0, 6, carry["status"])
-        iters_b = carry["it"]
+        status = jnp.where(carry["status"] == 0, 6, carry["status"])
+        return carry["pt"], status, carry["it"]
+
+    if jax.default_backend() == "cpu":
+        try:
+            pt_b, status_b, iters_b = solve_all(data_b, pt_b)
+        except Exception:
+            pt_b, status_b, iters_b = hostloop()
+    else:
+        pt_b, status_b, iters_b = hostloop()
     status_b = np.asarray(status_b)
     iters = np.asarray(iters_b)
     statuses = [fused.STATUS_CODES.get(int(code), "UnknownStatus")
