@@ -1,0 +1,46 @@
+"""Fused vs host-loop solve equivalence."""
+
+import numpy as np
+
+from hypatia_tpu import Model, Solver, cones
+
+
+def _model(seed=3):
+    rng = np.random.default_rng(seed)
+    m, n = 6, 12
+    A = 10 * rng.random((m, n))
+    b = A.sum(axis=1)
+    c = rng.random(n)
+    return Model(c, A, b, -np.eye(n), np.zeros(n), [cones.Nonnegative(n)])
+
+
+def test_fused_matches_unfused():
+    s1 = Solver(fused=True)
+    s1.load(_model())
+    s1.solve()
+    s2 = Solver(fused=False)
+    s2.load(_model())
+    s2.solve()
+    assert s1.get_status() == s2.get_status() == "Optimal"
+    assert s1.get_num_iters() == s2.get_num_iters()
+    assert abs(s1.get_primal_obj() - s2.get_primal_obj()) < 1e-10
+    np.testing.assert_allclose(s1.get_x(), s2.get_x(), rtol=1e-8, atol=1e-10)
+
+
+def test_fused_infeasible_status():
+    c = [1.0, 1.0]
+    A = [[1.0, 1.0]]
+    b = [-1.0]
+    model = Model(c, A, b, -np.eye(2), [0.0, 0.0], [cones.Nonnegative(2)])
+    s = Solver(fused=True)
+    s.load(model)
+    s.solve()
+    assert s.get_status() == "PrimalInfeasible"
+
+
+def test_fused_iteration_limit():
+    s = Solver(fused=True, iter_limit=2)
+    s.load(_model())
+    s.solve()
+    assert s.get_status() == "IterationLimit"
+    assert s.get_num_iters() == 2
