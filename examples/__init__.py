@@ -10,7 +10,7 @@ from examples import (
     linearopt, portfolio, doptimaldesign, polymin, relentrentanglement,
     maxvolume, matrixcompletion, discretemaxlikelihood, covarianceest,
     densityest, nearestpsd, experimentdesign, conditionnum,
-    lyapunovstability,
+    lyapunovstability, nonparametricdistr,
 )
 from examples.common import run_instance
 
@@ -29,4 +29,5 @@ FAMILIES = {
     "experimentdesign": experimentdesign,
     "conditionnum": conditionnum,
     "lyapunovstability": lyapunovstability,
+    "nonparametricdistr": nonparametricdistr,
 }
