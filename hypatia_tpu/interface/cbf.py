@@ -196,6 +196,7 @@ def read_cbf(path):
     # scalar variable domains
     vstart = 0
     for dom, num in var_groups:
+        dom = _resolve_pow(dom, power_params)
         idx = np.arange(vstart, vstart + num)
         if dom == "F":
             pass
@@ -222,6 +223,7 @@ def read_cbf(path):
     # scalar constraint domains: rows A_R x + b_R in D
     row = 0
     for dom, num in con_groups:
+        dom = _resolve_pow(dom, power_params)
         Ar = Afull[row:row + num, :]
         br = bfull[row:row + num]
         if dom == "F":
@@ -276,6 +278,17 @@ def _entry_svec(side, r, cc, v):
     return _svec_np(M)
 
 
+def _resolve_pow(dom, power_params):
+    """Resolve '@k:POW' / '@k:POW*' references to ('POW', alphas, dual)."""
+    if isinstance(dom, str) and dom.startswith("@"):
+        ref, kind = dom[1:].split(":")
+        dual = kind.endswith("*")
+        key = "POW*CONES" if dual else "POWCONES"
+        alphas = power_params[key][int(ref)]
+        return ("POW", tuple(alphas), dual)
+    return dom
+
+
 def _domain_permutation(dom, num):
     if dom in ("EXP", "EXP*"):
         assert num == 3
@@ -284,6 +297,14 @@ def _domain_permutation(dom, num):
 
 
 def _make_cone(dom, num):
+    if isinstance(dom, tuple) and dom[0] == "POW":
+        # CBF power cone: x1^a1 * ... * xk^ak >= |x_{k+1..num}| with the
+        # alphas normalized to sum 1 -> GeneralizedPower
+        _, alphas, dual = dom
+        alphas = np.asarray(alphas, dtype=float)
+        alphas = alphas / alphas.sum()
+        return cones.GeneralizedPower(alphas, num - len(alphas),
+                                      use_dual=dual)
     if dom == "Q":
         return cones.EpiNormEucl(num)
     if dom == "QR":

@@ -64,3 +64,53 @@ def test_read_cblib_expdesign():
     solver.load(model)
     solver.solve()
     assert solver.get_status() == "Optimal"
+
+
+def test_read_cbf_pow(tmp_path):
+    """POW cone: max x3 s.t. x1=2, x2=1.5, x in POW(0.4, 0.6)
+    -> x3* = 2^0.4 * 1.5^0.6."""
+    text = """VER
+3
+
+POWCONES
+1 2
+2
+0.4
+0.6
+
+OBJSENSE
+MIN
+
+VAR
+3 1
+@0:POW 3
+
+CON
+2 1
+L= 2
+
+OBJACOORD
+1
+2 -1.0
+
+ACOORD
+2
+0 0 1.0
+1 1 1.0
+
+BCOORD
+2
+0 -2.0
+1 -1.5
+"""
+    path = tmp_path / "pow.cbf"
+    path.write_text(text)
+    from hypatia_tpu.interface.cbf import read_cbf
+    from hypatia_tpu import Solver
+
+    model = read_cbf(str(path))
+    solver = Solver()
+    solver.load(model)
+    solver.solve()
+    assert solver.get_status() == "Optimal"
+    assert abs(-solver.get_primal_obj() - 2**0.4 * 1.5**0.6) < 1e-6
