@@ -34,7 +34,7 @@ def _eps(x):
 
 
 class EpiPerSepSpectralMatrix(Cone):
-    has_dder3 = False  # third-order oracle deferred (adjustment is skipped)
+    has_dder3 = True
 
     def __init__(self, h, d: int, is_complex: bool = False,
                  use_dual: bool = False):
@@ -224,3 +224,65 @@ class EpiPerSepSpectralMatrix(Cone):
     def inv_hess(self, s, aux=None):
         eye = jnp.eye(self.dim, dtype=jnp.float64)
         return self.inv_hess_prod(s, eye, aux)
+
+    def dder3(self, s, d, aux=None):
+        """Closed-form third-order oracle -1/2 D^3 F[d,d] via the
+        substitution E = DX[d] = (Dw - dv X)/v and Daleckii-Krein first and
+        second divided differences of h' (semantics of `matrixcsqr.jl`
+        dder3; derivation in repo notes)."""
+        aux = self._get_aux(s, aux)
+        u, v, w = s[0], s[1], s[2:]
+        zeta, lam, Q = aux["zeta"], aux["lam"], aux["Q"]
+        lamw = aux["lamw"]
+        h1, sigma = aux["h1"], aux["sigma"]
+        h2 = self.h.h_der2(lam)
+        h3 = self.h.h_der3(lam)
+        d1h1 = spectral.fdd1(h1, h2, lam)
+        f2h1 = spectral.fdd2_tensor(h1, h2, h3, lam)
+
+        du, dv = d[0], d[1]
+        Dw = self._smat(d[2:])
+        Dwt = Q.conj().T @ Dw @ Q                      # Dw in eigenbasis
+        Et = (Dwt - dv * jnp.diag(lam).astype(Dwt.dtype)) / v  # E tilde
+
+        # T = tr h(X) derivatives contracted with E
+        D2T_EE = jnp.sum(jnp.real(d1h1 * Et * Et.conj()))
+        D2T_E_mat = d1h1 * Et                          # ~ Q(.)Q' matrix
+        D2T_EX = jnp.sum(lam * h2 * jnp.real(jnp.diagonal(Et)))
+        M = 2 * jnp.einsum("ikj,ik,kj->ij", f2h1.astype(Et.dtype), Et, Et)
+        D3T_EE_mat = M                                 # D3T[E,E,.] in basis
+        D3T_EEX = jnp.sum(lam * jnp.real(jnp.diagonal(M)))
+
+        # xi derivative pieces
+        Dxi_d = sigma * dv + jnp.sum(
+            jnp.real(jnp.diagonal(Dwt)) * h1)          # tr(h'(X) Dw)
+        zeta_d = du - Dxi_d
+        zeta_dd = -v * D2T_EE
+        # grad zeta = (1, -sigma, -svec h'(X))
+        hX_svec_rot = jnp.zeros(self.w_len, dtype=jnp.float64)
+        hX_svec_rot = hX_svec_rot.at[self._diag_idxs()].set(h1)
+        R = aux["R"]
+        grad_zeta = jnp.concatenate([
+            jnp.ones(1), (-sigma)[None], -(R.T @ hX_svec_rot)])
+        # D2 zeta[d] = (0, -D2xi[d])
+        d2xi_v = -D2T_EX
+        d2xi_w = self._svec(Q @ D2T_E_mat @ Q.conj().T)
+        D2zeta_d = jnp.concatenate([jnp.zeros(1), (-d2xi_v)[None], -d2xi_w])
+        # D3 xi[d,d] vector over (v, w)
+        d3xi_v = -D2T_EE - D3T_EEX + (2 * dv / v) * D2T_EX
+        d3xi_w_mat = D3T_EE_mat - (2 * dv / v) * D2T_E_mat
+        d3xi_w = self._svec(Q @ d3xi_w_mat @ Q.conj().T)
+        D3zeta_dd = jnp.concatenate([jnp.zeros(1), (-d3xi_v)[None], -d3xi_w])
+
+        V = (-D3zeta_dd / zeta
+             + (zeta_dd * grad_zeta + 2 * zeta_d * D2zeta_d) / zeta**2
+             - 2 * zeta_d**2 * grad_zeta / zeta**3)
+
+        # phi = -log v - logdet W third derivative [d,d] gradient
+        Wi_rot = 1.0 / lamw
+        WiDw = (Wi_rot[:, None]) * Dwt                 # W^-1 Dw in basis
+        WiDwWiDwWi = WiDw @ WiDw * Wi_rot[None, :]
+        P_w = -2 * self._svec(Q @ WiDwWiDwWi @ Q.conj().T)
+        P = jnp.concatenate([jnp.zeros(1), (-2 * dv**2 / v**3)[None], P_w])
+
+        return -0.5 * (V + P)
