@@ -10,7 +10,7 @@ from examples import (
     linearopt, portfolio, doptimaldesign, polymin, relentrentanglement,
     maxvolume, matrixcompletion, discretemaxlikelihood, covarianceest,
     densityest, nearestpsd, experimentdesign, conditionnum,
-    lyapunovstability, nonparametricdistr,
+    lyapunovstability, nonparametricdistr, signomialmin,
 )
 from examples.common import run_instance
 
@@ -30,4 +30,5 @@ FAMILIES = {
     "conditionnum": conditionnum,
     "lyapunovstability": lyapunovstability,
     "nonparametricdistr": nonparametricdistr,
+    "signomialmin": signomialmin,
 }
