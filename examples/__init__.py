@@ -11,6 +11,7 @@ from examples import (
     maxvolume, matrixcompletion, discretemaxlikelihood, covarianceest,
     densityest, nearestpsd, experimentdesign, conditionnum,
     lyapunovstability, nonparametricdistr, signomialmin,
+    classicalquantum, matrixregression,
 )
 from examples.common import run_instance
 
@@ -31,4 +32,6 @@ FAMILIES = {
     "lyapunovstability": lyapunovstability,
     "nonparametricdistr": nonparametricdistr,
     "signomialmin": signomialmin,
+    "classicalquantum": classicalquantum,
+    "matrixregression": matrixregression,
 }
