@@ -111,7 +111,8 @@ class Cone:
         """
         H = self.hess(s, aux=None)
         L, ok = linalg.cholesky_shifted(H)
-        return {"hess": H, "hess_chol": L, "hess_chol_ok": ok}
+        return {"hess": H, "hess_chol": L, "hess_chol_ok": ok,
+                "hess_inv": linalg.chol_inverse(L)}
 
     # -- first/second/third order oracles ----------------------------------
 
@@ -133,6 +134,8 @@ class Cone:
     def inv_hess_prod(self, s, arr, aux=None):
         if aux is None or "hess_chol" not in aux:
             aux = self.point_aux(s)
+        if "hess_inv" in aux:
+            return aux["hess_inv"] @ arr
         L = aux["hess_chol"]
         if arr.ndim == 1:
             return linalg.cho_solve(L, arr[:, None])[:, 0]

@@ -208,9 +208,10 @@ class EpiTrRelEntropyTri(Cone):
         Mw = jnp.block([[M_VV, M_VW], [M_VW.T, M_WW]])
         Mw = (Mw + Mw.T) / 2
         Lw, ok = linalg.cholesky_shifted(Mw)
+        Mw_inv = linalg.chol_inverse(Lw)
 
         return {"zeta": zeta, "a": a, "b": jnp.concatenate([b_v, b_w]),
-                "Mw": Mw, "Mw_chol": Lw, "Mw_ok": ok,
+                "Mw": Mw, "Mw_chol": Lw, "Mw_inv": Mw_inv, "Mw_ok": ok,
                 "lv": lv, "lw": lw}
 
     def _get_aux(self, s, aux):
@@ -252,10 +253,10 @@ class EpiTrRelEntropyTri(Cone):
         one_d = arr.ndim == 1
         A = arr[:, None] if one_d else arr
         r_u, r_wbar = A[0, :], A[1:, :]
-        a, b, Lw = aux["a"], aux["b"], aux["Mw_chol"]
+        a, b = aux["a"], aux["b"]
         y = r_u / a
         rhs_w = r_wbar - jnp.outer(b, y)
-        x_wbar = linalg.cho_solve(Lw, rhs_w)
+        x_wbar = aux["Mw_inv"] @ rhs_w
         x_u = (y - b @ x_wbar) / a
         out = jnp.concatenate([x_u[None, :], x_wbar], axis=0)
         return out[:, 0] if one_d else out

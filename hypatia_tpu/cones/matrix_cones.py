@@ -108,20 +108,19 @@ class PosSemidefTri(_MatrixMixin, Cone):
     def point_aux(self, s):
         W = self._smat(s)
         L = jnp.linalg.cholesky(W)
-        return {"W": W, "L": L}
+        eye = jnp.eye(self.side, dtype=W.dtype)
+        Li = linalg.solve_tri(L, eye, lower=True)
+        Winv = Li.conj().T @ Li
+        return {"W": W, "L": L, "Winv": Winv}
 
     def _get_aux(self, s, aux):
         if aux is None or "L" not in aux:
             return self.point_aux(s)
         return aux
 
-    def _winv(self, L):
-        eye = jnp.eye(self.side, dtype=L.dtype)
-        return linalg.cho_solve(L, eye)
-
     def grad(self, s, aux=None):
         aux = self._get_aux(s, aux)
-        return -self._svec(self._winv(aux["L"]))
+        return -self._svec(aux["Winv"])
 
     def _per_col(self, arr, fn):
         if arr.ndim == 1:
@@ -130,12 +129,11 @@ class PosSemidefTri(_MatrixMixin, Cone):
 
     def hess_prod(self, s, arr, aux=None):
         aux = self._get_aux(s, aux)
-        L = aux["L"]
+        Winv = aux["Winv"]
 
         def one(col):
             A = self._smat(col)
-            X = linalg.cho_solve(L, A)           # W^-1 A
-            Y = linalg.cho_solve(L, X.conj().T).conj().T  # W^-1 A W^-1
+            Y = Winv @ A @ Winv
             return self._svec((Y + Y.conj().T) / 2)
 
         return self._per_col(arr, one)
@@ -176,11 +174,10 @@ class PosSemidefTri(_MatrixMixin, Cone):
 
     def dder3(self, s, d, aux=None):
         aux = self._get_aux(s, aux)
-        L = aux["L"]
+        Winv = aux["Winv"]
         D = self._smat(d)
-        X = linalg.cho_solve(L, D)        # W^-1 D
-        Y = X @ X                          # (W^-1 D)^2
-        Z = linalg.cho_solve(L, Y.conj().T).conj().T  # W^-1 D W^-1 D W^-1
+        X = Winv @ D
+        Z = X @ X @ Winv                   # W^-1 D W^-1 D W^-1
         return self._svec((Z + Z.conj().T) / 2)
 
 
@@ -324,11 +321,12 @@ class HypoRootdetTri(_MatrixMixin, ZetaCone):
             jnp.outer(winv_svec, winv_svec)
         Mw = (Mw + Mw.T) / 2
         Lw, ok = linalg.cholesky_shifted(Mw)
+        Mw_inv = linalg.chol_inverse(Lw)
         grad_xi = (phi / d) * winv_svec
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
         return {"zeta": zeta, "a": a, "b": b, "Mw": Mw, "Mw_chol": Lw,
-                "Mw_ok": ok, "grad_phi": -winv_svec}
+                "Mw_inv": Mw_inv, "Mw_ok": ok, "grad_phi": -winv_svec}
 
     def feas(self, s):
         ok, L = _psd_feas(self._smat(s[1:]))
@@ -425,13 +423,14 @@ class HypoPerLogdetTri(_MatrixMixin, ZetaCone):
         Mw = Mw.at[1:, 1:].set(Mww)
         Mw = (Mw + Mw.T) / 2
         Lw, ok = linalg.cholesky_shifted(Mw)
+        Mw_inv = linalg.chol_inverse(Lw)
         grad_xi = jnp.concatenate([
             (logdet - d * jnp.log(v) - d)[None], v * winv_svec])
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
         grad_phi = jnp.concatenate([(-1.0 / v)[None], -winv_svec])
         return {"zeta": zeta, "a": a, "b": b, "Mw": Mw, "Mw_chol": Lw,
-                "Mw_ok": ok, "grad_phi": grad_phi}
+                "Mw_inv": Mw_inv, "Mw_ok": ok, "grad_phi": grad_phi}
 
     def feas(self, s):
         u, v, w = s[0], s[1], s[2:]

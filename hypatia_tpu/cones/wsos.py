@@ -80,7 +80,8 @@ class WSOSInterpNonnegative(Cone):
         # build the Hessian factor eagerly (H = sum_k |M_k|^2 is dense UxU)
         H = self.hess(None, aux)
         Lh, ok = linalg.cholesky_shifted(H)
-        aux.update({"hess": H, "hess_chol": Lh, "hess_chol_ok": ok})
+        aux.update({"hess": H, "hess_chol": Lh, "hess_chol_ok": ok,
+                    "hess_inv": linalg.chol_inverse(Lh)})
         return aux
 
     def _get_aux(self, s, aux):
@@ -111,13 +112,9 @@ class WSOSInterpNonnegative(Cone):
         return H @ arr
 
     def inv_hess_prod(self, s, arr, aux=None):
-        if aux is None or "hess_chol" not in aux:
+        if aux is None or "hess_inv" not in aux:
             aux = self.point_aux(s)
-        L = aux["hess_chol"]
-        one_d = arr.ndim == 1
-        a = arr[:, None] if one_d else arr
-        out = linalg.cho_solve(L, a)
-        return out[:, 0] if one_d else out
+        return aux["hess_inv"] @ arr
 
     def dder3(self, s, d, aux=None):
         """-1/2 D^3(-logdet Lam(x))[d,d] = diag(M D_d M D_d M) with

@@ -65,24 +65,29 @@ class ZetaCone(Cone):
         hess_phi = jax.hessian(self.phi)(w)
         Mw = hess_phi + self.sgn * hess_xi / zeta
         Lw, ok = linalg.cholesky_shifted(Mw)
+        Mw_inv = linalg.chol_inverse(Lw)
         # v = grad(-log zeta) direction: a = dF_zeta du etc.
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
         return {"zeta": zeta, "a": a, "b": b, "Mw": Mw, "Mw_chol": Lw,
-                "Mw_ok": ok, "grad_phi": jax.grad(self.phi)(w)}
+                "Mw_inv": Mw_inv, "Mw_ok": ok,
+                "grad_phi": jax.grad(self.phi)(w)}
 
     # -- oracles ------------------------------------------------------------
 
     def inv_hess_prod(self, s, arr, aux=None):
         if aux is None:
             aux = self.point_aux(s)
-        a, b, Lw = aux["a"], aux["b"], aux["Mw_chol"]
+        a, b = aux["a"], aux["b"]
         one_d = arr.ndim == 1
         r = arr[:, None] if one_d else arr
         r_u, r_w = r[0, :], r[1:, :]
         y = r_u / a
         rhs_w = r_w - jnp.outer(b, y)
-        x_w = linalg.cho_solve(Lw, rhs_w)
+        if "Mw_inv" in aux:
+            x_w = aux["Mw_inv"] @ rhs_w
+        else:
+            x_w = linalg.cho_solve(aux["Mw_chol"], rhs_w)
         x_u = (y - b @ x_w) / a
         out = jnp.concatenate([x_u[None, :], x_w], axis=0)
         return out[:, 0] if one_d else out

@@ -66,6 +66,21 @@ def cho_solve(L, B):
     return solve_tri(L, Y, lower=True, trans=True)
 
 
+def chol_inverse(L):
+    """A^-1 from the lower Cholesky factor, via one batched triangular
+    solve against I.
+
+    On TPU, triangular solves with thin right-hand sides are latency-bound
+    sequential loops; computing the explicit inverse once per factorization
+    turns every subsequent solve into an MXU matmul (the iterative
+    refinement in the direction solver absorbs the small accuracy loss of
+    the explicit-inverse form).
+    """
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Li = solve_tri(L, eye, lower=True)
+    return Li.conj().T @ Li
+
+
 def posdef_solve(A, B, num_tries: int = 4):
     """Solve SPD system A X = B with shifted-Cholesky recovery."""
     L, ok = cholesky_shifted(A, num_tries)

@@ -98,6 +98,7 @@ def update_lhs(ctx, data, iter_aux):
         lhs = (lhs + lhs.T) / 2
         L, ok = linalg.cholesky_shifted(lhs)
         sys["schur_chol"] = L
+        sys["schur_inv"] = linalg.chol_inverse(L)
         sys["schur_ok"] = ok
     elif ctx.syssolver == "symindef":
         npq = ctx.n + ctx.p + ctx.q
@@ -116,15 +117,15 @@ def update_lhs(ctx, data, iter_aux):
             lhs = lhs.at[zs + start:zs + start + dim,
                          zs + start:zs + start + dim].set(-Hk)
         Q, R = jnp.linalg.qr(lhs)
-        sys["qr_q"], sys["qr_r"] = Q, R
+        sys["lhs_inv"] = linalg.solve_tri(R, Q.T, lower=False)
     elif ctx.syssolver == "naive":
-        sys["lhs6"] = _naive_lhs6(ctx, data, iter_aux)
-        Q, R = jnp.linalg.qr(sys["lhs6"])
-        sys["qr_q"], sys["qr_r"] = Q, R
+        lhs6 = _naive_lhs6(ctx, data, iter_aux)
+        Q, R = jnp.linalg.qr(lhs6)
+        sys["lhs_inv"] = linalg.solve_tri(R, Q.T, lower=False)
     elif ctx.syssolver == "naiveelim":
         lhs4 = _naiveelim_lhs4(ctx, data, iter_aux)
         Q, R = jnp.linalg.qr(lhs4)
-        sys["qr_q"], sys["qr_r"] = Q, R
+        sys["lhs_inv"] = linalg.solve_tri(R, Q.T, lower=False)
     elif ctx.syssolver == "symindef_indirect":
         pass  # matrix-free; nothing to factor
     else:
@@ -245,8 +246,7 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
     """
     if ctx.syssolver == "symindef":
         rhs = jnp.concatenate([rx, ry, rz])
-        sol = linalg.solve_tri(
-            sys["qr_r"], sys["qr_q"].T @ rhs, lower=False)
+        sol = sys["lhs_inv"] @ rhs
         x = sol[:ctx.n]
         y = sol[ctx.n:ctx.n + ctx.p]
         z = sol[ctx.n + ctx.p:]
@@ -296,7 +296,7 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
         Q2div = Qb[p:] - data["GQ2"].T @ HGQ1y
     else:
         Q2div = Qb
-    x2 = linalg.cho_solve(sys["schur_chol"], Q2div[:, None])[:, 0]
+    x2 = sys["schur_inv"] @ Q2div
     if p > 0:
         xq = jnp.concatenate([yq, x2])
         x = data["Ap_Q"] @ xq
@@ -323,7 +323,7 @@ def solve_system(ctx, data, iter_aux, sys, rhs):
     """Solve the 6x6 system for a direction (`common.jl:129-182`)."""
     if ctx.syssolver == "naive":
         r6 = point_vec(rhs)
-        sol = linalg.solve_tri(sys["qr_r"], sys["qr_q"].T @ r6, lower=False)
+        sol = sys["lhs_inv"] @ r6
         n, p, q = ctx.n, ctx.p, ctx.q
         ts = n + p + q
         return {"x": sol[:n], "y": sol[n:n + p], "z": sol[n + p:ts],
@@ -346,7 +346,7 @@ def solve_system(ctx, data, iter_aux, sys, rhs):
             rz4 = rz4.at[start:start + dim].set(val)
         r4 = jnp.concatenate([rhs["x"], rhs["y"], rz4,
                               (rhs["tau"] + rhs["kap"])[None]])
-        sol4 = linalg.solve_tri(sys["qr_r"], sys["qr_q"].T @ r4, lower=False)
+        sol4 = sys["lhs_inv"] @ r4
         n, p, q = ctx.n, ctx.p, ctx.q
         x, y, z = sol4[:n], sol4[n:n + p], sol4[n + p:n + p + q]
         sol_tau = sol4[n + p + q]
