@@ -11,7 +11,7 @@ from examples import (
     maxvolume, matrixcompletion, discretemaxlikelihood, covarianceest,
     densityest, nearestpsd, experimentdesign, conditionnum,
     lyapunovstability, nonparametricdistr, signomialmin,
-    classicalquantum, matrixregression,
+    classicalquantum, matrixregression, polyenvelope, sparsepca,
 )
 from examples.common import run_instance
 
@@ -34,4 +34,6 @@ FAMILIES = {
     "signomialmin": signomialmin,
     "classicalquantum": classicalquantum,
     "matrixregression": matrixregression,
+    "polyenvelope": polyenvelope,
+    "sparsepca": sparsepca,
 }
