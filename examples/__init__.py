@@ -12,6 +12,8 @@ from examples import (
     densityest, nearestpsd, experimentdesign, conditionnum,
     lyapunovstability, nonparametricdistr, signomialmin,
     classicalquantum, matrixregression, polyenvelope, sparsepca,
+    stabilitynumber, nearestcorrelation, matrixquadratic,
+    entanglementassisted,
 )
 from examples.common import run_instance
 
@@ -36,4 +38,8 @@ FAMILIES = {
     "matrixregression": matrixregression,
     "polyenvelope": polyenvelope,
     "sparsepca": sparsepca,
+    "stabilitynumber": stabilitynumber,
+    "nearestcorrelation": nearestcorrelation,
+    "matrixquadratic": matrixquadratic,
+    "entanglementassisted": entanglementassisted,
 }
