@@ -13,7 +13,7 @@ from examples import (
     lyapunovstability, nonparametricdistr, signomialmin,
     classicalquantum, matrixregression, polyenvelope, sparsepca,
     stabilitynumber, nearestcorrelation, matrixquadratic,
-    entanglementassisted,
+    entanglementassisted, robustgeomprog, sparselmi,
 )
 from examples.common import run_instance
 
@@ -42,4 +42,6 @@ FAMILIES = {
     "nearestcorrelation": nearestcorrelation,
     "matrixquadratic": matrixquadratic,
     "entanglementassisted": entanglementassisted,
+    "robustgeomprog": robustgeomprog,
+    "sparselmi": sparselmi,
 }
