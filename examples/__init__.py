@@ -13,7 +13,8 @@ from examples import (
     lyapunovstability, nonparametricdistr, signomialmin,
     classicalquantum, matrixregression, polyenvelope, sparsepca,
     stabilitynumber, nearestcorrelation, matrixquadratic,
-    entanglementassisted, robustgeomprog, sparselmi,
+    entanglementassisted, robustgeomprog, sparselmi, semidefinitepoly,
+    normconepoly,
 )
 from examples.common import run_instance
 
@@ -44,4 +45,6 @@ FAMILIES = {
     "entanglementassisted": entanglementassisted,
     "robustgeomprog": robustgeomprog,
     "sparselmi": sparselmi,
+    "semidefinitepoly": semidefinitepoly,
+    "normconepoly": normconepoly,
 }

@@ -42,6 +42,8 @@ def cholesky_shifted(A, num_tries: int = 4):
     with ``A + shift*I`` for escalating shifts.
     """
     d = A.shape[-1]
+    if d == 0:  # zero-variable models (e.g. pure feasibility problems)
+        return A, jnp.asarray(True)
     eps = jnp.finfo(A.dtype).eps
     diag_max = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A))), 1.0)
 
