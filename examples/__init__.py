@@ -14,7 +14,9 @@ from examples import (
     classicalquantum, matrixregression, polyenvelope, sparsepca,
     stabilitynumber, nearestcorrelation, matrixquadratic,
     entanglementassisted, robustgeomprog, sparselmi, semidefinitepoly,
-    normconepoly,
+    normconepoly, polynorm, nearestpolymat, centralpolymat,
+    convexityparameter, shapeconregr, contraction, lotkavolterra,
+    regionofattr,
 )
 from examples.common import run_instance
 
@@ -47,4 +49,12 @@ FAMILIES = {
     "sparselmi": sparselmi,
     "semidefinitepoly": semidefinitepoly,
     "normconepoly": normconepoly,
+    "polynorm": polynorm,
+    "nearestpolymat": nearestpolymat,
+    "centralpolymat": centralpolymat,
+    "convexityparameter": convexityparameter,
+    "shapeconregr": shapeconregr,
+    "contraction": contraction,
+    "lotkavolterra": lotkavolterra,
+    "regionofattr": regionofattr,
 }

@@ -17,13 +17,19 @@ def certificate_violations(model, solver):
                   solver.get_s())
     c, A, b, G, h = model.c, model.A, model.b, model.G, model.h
     viols = {}
+    # normalize residuals like the solver's convergence tests
+    # (`Solvers.jl:485-528`): by 1 + the inf-norm of the relevant data
+    sb = 1.0 + float(np.max(np.abs(b), initial=0.0))
+    sh = 1.0 + float(np.max(np.abs(h), initial=0.0))
+    sc = 1.0 + float(np.max(np.abs(c), initial=0.0))
     if status == "Optimal":
-        viols["x"] = float(np.max(np.abs(A @ x - b), initial=0.0))
-        viols["z"] = float(np.max(np.abs(G @ x + s - h), initial=0.0))
-        viols["y"] = float(np.max(np.abs(G.T @ z + A.T @ y + c), initial=0.0))
-        viols["compl"] = abs(float(s @ z))
+        viols["x"] = float(np.max(np.abs(A @ x - b), initial=0.0)) / sb
+        viols["z"] = float(np.max(np.abs(G @ x + s - h), initial=0.0)) / sh
+        viols["y"] = float(np.max(np.abs(G.T @ z + A.T @ y + c),
+                                  initial=0.0)) / sc
         pobj = float(c @ x) + model.obj_offset
         dobj = float(-b @ y - h @ z) + model.obj_offset
+        viols["compl"] = abs(float(s @ z)) / (1 + abs(pobj) + abs(dobj))
         viols["obj_gap"] = abs(pobj - dobj) / (1 + abs(pobj) + abs(dobj))
     elif status == "PrimalInfeasible":
         viols["y"] = float(np.max(np.abs(G.T @ z + A.T @ y), initial=0.0))

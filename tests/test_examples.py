@@ -14,18 +14,34 @@ CASES = [
     for params in mod.MINIMAL
 ]
 
+_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    """The XLA CPU client segfaults after accumulating hundreds of
+    compiled programs in one process; drop compiled state every few
+    solves (mirrors benchmarks/run.py)."""
+    yield
+    _counter["n"] += 1
+    if _counter["n"] % 6 == 0:
+        import jax
+
+        jax.clear_caches()
+
 
 @pytest.mark.parametrize("name,params", CASES,
                          ids=[f"{n}-{i}" for i, (n, _) in enumerate(CASES)])
 def test_minimal_instance(name, params):
     # reference example-test protocol uses relaxed tolerances
     # (`test/runexamplestests.jl` + `runnativetests.jl:14-18`
-    # default_tol_relax=10)
-    record = run_instance(examples.FAMILIES[name], params,
-                          solver_options=dict(default_tol_relax=10))
+    # default_tol_relax=10); families may override via TEST_OPTIONS /
+    # TEST_VIOL_BOUND (the reference's per-instance relaxed_tols)
+    mod = examples.FAMILIES[name]
+    opts = getattr(mod, "TEST_OPTIONS", dict(default_tol_relax=10))
+    viol_bound = getattr(mod, "TEST_VIOL_BOUND", 1e-6)
+    record = run_instance(mod, params, solver_options=opts)
     assert record["status"] == "Optimal", record
-    # certificate-violation bound under the 10x-relaxed stop tolerances;
-    # un-rescaling can amplify the internal residual by a small factor
-    # (the reference's relaxed protocol checks objectives at ~eps^0.25,
-    # far looser than this)
-    assert record["max_viol"] < 2e-6, record
+    # relative certificate-violation bound under the relaxed stop
+    # tolerances (residuals normalized as in `Solvers.jl:485-528`)
+    assert record["max_viol"] < viol_bound, record
