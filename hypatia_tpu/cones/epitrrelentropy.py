@@ -14,9 +14,14 @@ over (svec V, svec W) is factored, assembled from Daleckii-Krein formulas:
 - VW block:   -Dlog(V) (same operator both cross blocks)
 - VV block:   -(second divided differences of log at eig(V), weighted by W)
 
-The third-order oracle is deferred (has_dder3=False): the stepper skips the
-third-order adjustment for this cone (`use_dder3` semantics,
-`src/Cones/Cones.jl:120-127`).
+The third-order oracle is the base-class jvp of this closed-form Hessian
+product (one forward-AD level through the guarded divided differences —
+validated exact against second-order barrier AD and the <dder3(d),s> =
+d'Hd / dder3(s) = -g identities at generic points; the reference's
+explicit third-divided-difference assembly is
+`epitrrelentropytri.jl:286-383`). At exactly-degenerate eigenvalues the
+jvp yields NaN and the stepper's dder3 identity gate (same check as the
+reference's) zeroes that cone's adjustment for the iteration.
 """
 
 import functools
@@ -47,7 +52,7 @@ def _log_fdd2(lam):
 
 
 class EpiTrRelEntropyTri(Cone):
-    has_dder3 = False  # third-order oracle deferred
+    has_dder3 = True  # base-class jvp over the closed-form hess_prod
 
     def __init__(self, dim: int, is_complex: bool = False,
                  use_dual: bool = False):
