@@ -97,6 +97,10 @@ fn_feas = {"matpoly1": True, "matpoly2": True, "matpoly5": True,
 MINIMAL = [dict(matpoly="matpoly2", use_dual=True),
            dict(matpoly="matpoly5", use_dual=True),
            dict(matpoly="matpoly5", use_dual=False)]
+# the dual-form instances have their optimum at the cone apex (z = 0,
+# objective exactly 0) — run the test protocol at extra relaxation
+TEST_OPTIONS = dict(default_tol_relax=30)
+TEST_VIOL_BOUND = 1e-5
 FAST = [dict(matpoly="matpoly1", use_dual=True),
         dict(matpoly="matpoly1", use_dual=False)]
 BENCH = [dict(matpoly="matpoly1", use_dual=False)]

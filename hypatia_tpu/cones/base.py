@@ -170,6 +170,23 @@ class Cone:
 
     # -- solver-facing helpers ---------------------------------------------
 
+    # keys that cache explicit inverses: cheap to use when directions are
+    # solved repeatedly against one factorization, but each costs a WIDE
+    # triangular solve to build — a sequential kernel that dominates the
+    # vmapped line search on TPU. point_aux_light strips them so XLA
+    # dead-code-eliminates their construction; inv_hess_prod falls back
+    # to cho_solve on the retained factor.
+    _INVERSE_CACHE_KEYS = ("Mw_inv", "hess_inv")
+
+    def point_aux_light(self, s):
+        """point_aux minus explicit-inverse caches (for the line search,
+        where each H^-1 application is a single vector)."""
+        aux = self.point_aux(s)
+        if isinstance(aux, dict):
+            return {k: v for k, v in aux.items()
+                    if k not in self._INVERSE_CACHE_KEYS}
+        return aux
+
     def get_proxsqr(self, s, z, irtmu, aux=None, use_max_prox=True):
         """Squared proximity ‖z·irtmu + g‖²_{H⁻¹} at scaled point s
         (`src/Cones/Cones.jl:294-310`). s is the √μ-scaled primal point."""

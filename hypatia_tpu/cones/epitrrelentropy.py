@@ -261,7 +261,10 @@ class EpiTrRelEntropyTri(Cone):
         a, b = aux["a"], aux["b"]
         y = r_u / a
         rhs_w = r_wbar - jnp.outer(b, y)
-        x_wbar = aux["Mw_inv"] @ rhs_w
+        if "Mw_inv" in aux:
+            x_wbar = aux["Mw_inv"] @ rhs_w
+        else:
+            x_wbar = linalg.cho_solve(aux["Mw_chol"], rhs_w)
         x_u = (y - b @ x_wbar) / a
         out = jnp.concatenate([x_u[None, :], x_wbar], axis=0)
         return out[:, 0] if one_d else out

@@ -112,9 +112,14 @@ class WSOSInterpNonnegative(Cone):
         return H @ arr
 
     def inv_hess_prod(self, s, arr, aux=None):
-        if aux is None or "hess_inv" not in aux:
+        if aux is None or "hess_chol" not in aux:
             aux = self.point_aux(s)
-        return aux["hess_inv"] @ arr
+        if "hess_inv" in aux:
+            return aux["hess_inv"] @ arr
+        L = aux["hess_chol"]
+        if arr.ndim == 1:
+            return linalg.cho_solve(L, arr[:, None])[:, 0]
+        return linalg.cho_solve(L, arr)
 
     def dder3(self, s, d, aux=None):
         """-1/2 D^3(-logdet Lam(x))[d,d] = diag(M D_d M D_d M) with

@@ -166,7 +166,7 @@ def check_cone_points(ctx, z, s, tau, kap):
     for k, cone in enumerate(ctx.cones):
         primal_k, dual_k = primal_dual_views(ctx, z, s, k)
         s_scal = irtmu * primal_k
-        aux = cone.point_aux(s_scal)
+        aux = cone.point_aux_light(s_scal)
         ok = ok & cone.feas(s_scal) & cone.dual_feas(dual_k)
         ok = ok & cone.check_numerics(s_scal, dual_k, aux)
         proxs.append(
