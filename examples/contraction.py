@@ -137,3 +137,7 @@ def is_feasible(beta):
 MINIMAL = [dict(beta=0.7, M_deg=4)]
 FAST = [dict(beta=0.7, M_deg=6)]
 BENCH = [dict(beta=0.7, M_deg=6)]
+# pure feasibility problem (c = 0): residual convergence near the
+# analytic center is slow; run the example-test protocol relaxed
+TEST_OPTIONS = dict(default_tol_relax=100)
+TEST_VIOL_BOUND = 1e-4

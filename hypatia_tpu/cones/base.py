@@ -180,8 +180,17 @@ class Cone:
 
     def point_aux_light(self, s):
         """point_aux minus explicit-inverse caches (for the line search,
-        where each H^-1 application is a single vector)."""
-        aux = self.point_aux(s)
+        where each H^-1 application is a single vector), with
+        single-attempt factorizations (a shift-needing candidate is
+        treated as infeasible rather than recovered)."""
+        from hypatia_tpu.ops import linalg as _linalg
+
+        old_tries = _linalg.CHOL_TRIES
+        _linalg.CHOL_TRIES = 1  # trace-time flag; restored below
+        try:
+            aux = self.point_aux(s)
+        finally:
+            _linalg.CHOL_TRIES = old_tries
         if isinstance(aux, dict):
             return {k: v for k, v in aux.items()
                     if k not in self._INVERSE_CACHE_KEYS}

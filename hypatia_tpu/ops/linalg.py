@@ -34,7 +34,13 @@ def chol_ok(L):
     return jnp.all(jnp.isfinite(L))
 
 
-def cholesky_shifted(A, num_tries: int = 4):
+# trace-time override for cholesky_shifted's retry count; the line search
+# sets this to 1 (via Cone.point_aux_light) so candidate checks pay for a
+# single factorization — a shift-needing trial point is simply infeasible
+CHOL_TRIES = 4
+
+
+def cholesky_shifted(A, num_tries: int = None):
     """Cholesky of symmetric A with escalating diagonal shift on failure.
 
     Returns (L, ok). Mirrors `posdef_fact_copy!` recovery
@@ -48,6 +54,8 @@ def cholesky_shifted(A, num_tries: int = 4):
     the cond lowers to a select (both branches run for all lanes), which
     matches the old always-run-4 behavior.
     """
+    if num_tries is None:
+        num_tries = CHOL_TRIES
     d = A.shape[-1]
     if d == 0:  # zero-variable models (e.g. pure feasibility problems)
         return A, jnp.asarray(True)
