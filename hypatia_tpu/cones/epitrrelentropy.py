@@ -161,8 +161,10 @@ class EpiTrRelEntropyTri(Cone):
     def point_aux(self, s):
         u, vvec, wvec = self._split(s)
         V, W = self._smat(vvec), self._smat(wvec)
-        lv, Qv = jnp.linalg.eigh(V)
-        lw, Qw = jnp.linalg.eigh(W)
+        # polished eigh: the TPU f64 eigh alone loses enough accuracy to
+        # stall convergence at mu ~ 1e-6 (combined steps get rejected)
+        lv, Qv = spectral.eigh_refined(V)
+        lw, Qw = spectral.eigh_refined(W)
         n = self.w_len
 
         Wv = Qv.conj().T @ W @ Qv  # W in V's eigenbasis

@@ -127,7 +127,7 @@ class EpiPerSepSpectralMatrix(Cone):
     def point_aux(self, s):
         u, v, w = s[0], s[1], s[2:]
         W = self._smat(w)
-        lamw, Q = jnp.linalg.eigh(W)
+        lamw, Q = spectral.eigh_refined(W)
         lam = lamw / v
         hvals_i = jax.vmap(lambda x: self.h.h_val(x[None]))(lam)
         h1 = self.h.h_der1(lam)

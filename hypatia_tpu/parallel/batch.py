@@ -159,19 +159,28 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         status = jnp.where(out["status"] == 0, 6, out["status"])
         return out["pt"], status, out["it"]
 
+    chunk = 8
+
     @jax.jit
-    def one_step_all(data_b, carry):
+    def chunk_step_all(data_b, carry):
+        # lax.scan of the vmapped body: `chunk` iterations per device
+        # call, amortizing program dispatch (the batched while_loop
+        # crashes the TPU XLA compiler, but a fixed-trip scan compiles)
         body_fn = fused.make_body(ctx, conv_tols, tols)
-        return jax.vmap(body_fn, in_axes=(0, 0))(data_b, carry)
+        batched = jax.vmap(body_fn, in_axes=(0, 0))
+
+        def sbody(c, _):
+            return batched(data_b, c), None
+
+        return jax.lax.scan(sbody, carry, None, length=chunk)[0]
 
     def hostloop():
-        # host-driven loop over the vmapped body (one device call per
-        # iteration); used where the fused batched while_loop crashes the
-        # TPU XLA compiler (memory-space-assignment bug)
+        # host-driven loop over scan chunks; one device call per `chunk`
+        # iterations, host checks termination between chunks
         carry = jax.jit(jax.vmap(
             lambda p: fused.init_carry(ctx, p)))(pt_b)
-        for _ in range(iter_limit):
-            carry = one_step_all(data_b, carry)
+        for _ in range(0, iter_limit, chunk):
+            carry = chunk_step_all(data_b, carry)
             if not bool(jnp.any(carry["status"] == 0)):
                 break
         status = jnp.where(carry["status"] == 0, 6, carry["status"])
