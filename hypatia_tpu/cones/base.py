@@ -183,14 +183,8 @@ class Cone:
         where each H^-1 application is a single vector), with
         single-attempt factorizations (a shift-needing candidate is
         treated as infeasible rather than recovered)."""
-        from hypatia_tpu.ops import linalg as _linalg
-
-        old_tries = _linalg.CHOL_TRIES
-        _linalg.CHOL_TRIES = 1  # trace-time flag; restored below
-        try:
+        with linalg.chol_tries(1):
             aux = self.point_aux(s)
-        finally:
-            _linalg.CHOL_TRIES = old_tries
         if isinstance(aux, dict):
             return {k: v for k, v in aux.items()
                     if k not in self._INVERSE_CACHE_KEYS}

@@ -171,8 +171,6 @@ def read_cbf(path):
     bfull = np.zeros(ncon)
     for i, j, v in a_coord:
         Afull[i, j] += v
-    for j, r, cc, v in f_coord:
-        pass
     for i, v in b_coord.items():
         bfull[i] = v
     for i, j, r, cc, v in f_coord:
@@ -213,8 +211,11 @@ def read_cbf(path):
             A_rows.append(Av)
             b_eq.append(np.zeros(num))
         else:
+            # same coordinate permutation as the constraint branch (EXP
+            # domains reorder (x1,x2,x3) -> HypoPerLog's (x3,x2,x1))
+            perm = _domain_permutation(dom, num)
             Gv = np.zeros((num, ntot))
-            Gv[np.arange(num), idx] = -1.0
+            Gv[np.arange(num), idx[perm]] = -1.0
             G_rows.append(Gv)
             h_rows.append(np.zeros(num))
             cone_list.append(_make_cone(dom, num))

@@ -35,9 +35,25 @@ def chol_ok(L):
 
 
 # trace-time override for cholesky_shifted's retry count; the line search
-# sets this to 1 (via Cone.point_aux_light) so candidate checks pay for a
-# single factorization — a shift-needing trial point is simply infeasible
-CHOL_TRIES = 4
+# sets it to 1 (via Cone.point_aux_light / chol_tries) so candidate checks
+# pay for a single factorization — a shift-needing trial point is simply
+# infeasible. A ContextVar (not a module global) so concurrent traces in
+# other threads are unaffected.
+import contextlib
+import contextvars
+
+_CHOL_TRIES = contextvars.ContextVar("chol_tries", default=4)
+
+
+@contextlib.contextmanager
+def chol_tries(n: int):
+    """Scope cholesky_shifted's default retry count to `n` for traces
+    performed inside the with-block."""
+    token = _CHOL_TRIES.set(int(n))
+    try:
+        yield
+    finally:
+        _CHOL_TRIES.reset(token)
 
 
 def cholesky_shifted(A, num_tries: int = None):
@@ -55,7 +71,7 @@ def cholesky_shifted(A, num_tries: int = None):
     matches the old always-run-4 behavior.
     """
     if num_tries is None:
-        num_tries = CHOL_TRIES
+        num_tries = _CHOL_TRIES.get()
     d = A.shape[-1]
     if d == 0:  # zero-variable models (e.g. pure feasibility problems)
         return A, jnp.asarray(True)

@@ -203,16 +203,21 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     tau = np.asarray(conv["tau"])
     results = []
     for i in range(nb):
+        # infeasible statuses report the unscaled ray (tau -> 0 there),
+        # matching Solver._solve_fused / reference postprocess
+        # (`process.jl:385-458`)
+        if statuses[i] in ("PrimalInfeasible", "DualInfeasible"):
+            ti, offset = 1.0, 0.0
+        else:
+            ti, offset = tau[i], models[i].obj_offset
         results.append({
             "status": statuses[i],
             "num_iters": int(iters[i]),
-            "primal_obj": float(conv["primal_obj_t"][i] / tau[i])
-            + models[i].obj_offset,
-            "dual_obj": float(conv["dual_obj_t"][i] / tau[i])
-            + models[i].obj_offset,
-            "x": np.asarray(pt_b["x"][i]) / tau[i],
-            "y": np.asarray(pt_b["y"][i]) / tau[i],
-            "z": np.asarray(pt_b["z"][i]) / tau[i],
-            "s": np.asarray(pt_b["s"][i]) / tau[i],
+            "primal_obj": float(conv["primal_obj_t"][i] / ti) + offset,
+            "dual_obj": float(conv["dual_obj_t"][i] / ti) + offset,
+            "x": np.asarray(pt_b["x"][i]) / ti,
+            "y": np.asarray(pt_b["y"][i]) / ti,
+            "z": np.asarray(pt_b["z"][i]) / ti,
+            "s": np.asarray(pt_b["s"][i]) / ti,
         })
     return results

@@ -159,5 +159,6 @@ def fused_solve(ctx, data, conv_tols, tols, pt0, iter_limit, tol_slow=1e-3):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def fused_solve_jit(ctx, data, conv_tols, tols, pt0, iter_limit):
-    return fused_solve(ctx, data, conv_tols, tols, pt0, iter_limit)
+def fused_solve_jit(ctx, data, conv_tols, tols, pt0, iter_limit,
+                    tol_slow=1e-3):
+    return fused_solve(ctx, data, conv_tols, tols, pt0, iter_limit, tol_slow)

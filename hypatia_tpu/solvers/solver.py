@@ -474,7 +474,8 @@ class Solver:
         }
         t0 = time.time()
         pt, status_code, iters, conv, wdr = fused.fused_solve_jit(
-            ctx, data, conv_tols, tols, pt, self.iter_limit)
+            ctx, data, conv_tols, tols, pt, self.iter_limit,
+            jnp.asarray(self.tol_slow, dtype=ctx.dtype))
         convh = jax.device_get(conv)
         timers["step"] = time.time() - t0
 
