@@ -5,16 +5,61 @@ doptimaldesign logdet, polymin WSOS, relentrentanglement quantum RE) in the
 fused on-device mode, reporting IPM iterations/s on the primary (largest
 LP) config plus per-config results.
 
-vs_baseline semantics: ratio of measured iterations/s to a provisional
-single-thread CPU estimate (the reference publishes no absolute numbers
-in-repo — see BASELINE.md; 15 it/s is a conservative single-thread stand-in
-for the 128x256 LP until the Julia reference can be timed).
+vs_baseline semantics: ratio of measured TPU iterations/s to a MEASURED
+single-thread CPU run of this same solver on the same instance (subprocess
+with XLA forced to one CPU device and intra-op threads pinned to 1).  The
+reference publishes no absolute numbers in-repo and Julia is not available
+in this environment (BASELINE.md), so the single-thread CPU run of the
+identical algorithm is the documented reproducible proxy for "single-thread
+reference on this host".
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+_CPU_BASELINE_SNIPPET = r"""
+import os, json, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_multi_thread_eigen=false"
+    + " intra_op_parallelism_threads=1").strip()
+os.environ["OMP_NUM_THREADS"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import examples
+from hypatia_tpu import Solver
+m, n = 128, 256
+def run(seed):
+    model = examples.linearopt.build(m=m, n=n, seed=seed)
+    s = Solver(verbose=False, fused=True, iter_limit=200,
+               default_tol_relax=10)
+    s.load(model)
+    s.solve()
+    return s
+run(2)  # warm the compile cache
+t0 = time.time()
+s = run(1)
+step_s = s.timers.get("step", time.time() - t0)
+print(json.dumps({"iters": s.get_num_iters(), "step_s": step_s,
+                  "iters_per_s": s.get_num_iters() / max(step_s, 1e-9)}))
+"""
+
+
+def measure_cpu_baseline(timeout=900):
+    """Single-thread CPU run of this solver on the primary config, in a
+    subprocess so the TPU process's backend choice is not disturbed."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _CPU_BASELINE_SNIPPET],
+            capture_output=True, text=True, timeout=timeout)
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}", "iters_per_s": 15.0}
 
 
 def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10):
@@ -112,14 +157,20 @@ def main():
     print(f"[bench] batch32 done: {per_config['batch32_lp128']}",
           file=sys.stderr, flush=True)
 
+    print("[bench] cpu single-thread baseline ...", file=sys.stderr,
+          flush=True)
+    cpu_base = measure_cpu_baseline()
+    print(f"[bench] cpu baseline: {cpu_base}", file=sys.stderr, flush=True)
+
     primary = per_config.get("linearopt", {})
     iters_per_s = primary.get("iters_per_s", 0.0)
-    baseline_iters_per_s = 15.0
+    baseline_iters_per_s = max(cpu_base.get("iters_per_s", 15.0), 1e-9)
     result = {
         "metric": "linearopt_lp_256_ipm_iterations_per_s",
         "value": iters_per_s,
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / baseline_iters_per_s, 3),
+        "cpu_singlethread_baseline": cpu_base,
         "configs": per_config,
     }
     print(json.dumps(result))

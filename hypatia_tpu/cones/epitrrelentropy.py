@@ -161,10 +161,16 @@ class EpiTrRelEntropyTri(Cone):
     def point_aux(self, s):
         u, vvec, wvec = self._split(s)
         V, W = self._smat(vvec), self._smat(wvec)
-        # polished eigh: the TPU f64 eigh alone loses enough accuracy to
-        # stall convergence at mu ~ 1e-6 (combined steps get rejected)
-        lv, Qv = spectral.eigh_refined(V)
-        lw, Qw = spectral.eigh_refined(W)
+        # high-relative-accuracy eigendecomposition: the TPU f64 eigh loses
+        # the small eigenvalues of the ill-conditioned V,W near convergence
+        # (cond ~ 1/mu), stalling the IPM at mu ~ 1e-6; two-sided Jacobi
+        # (Demmel-Veselic) computes them to high relative accuracy
+        if self.side <= 16:
+            lv, Qv = spectral.jacobi_eigh(V)
+            lw, Qw = spectral.jacobi_eigh(W)
+        else:
+            lv, Qv = spectral.eigh_refined(V)
+            lw, Qw = spectral.eigh_refined(W)
         n = self.w_len
 
         Wv = Qv.conj().T @ W @ Qv  # W in V's eigenbasis
@@ -219,7 +225,7 @@ class EpiTrRelEntropyTri(Cone):
 
         return {"zeta": zeta, "a": a, "b": jnp.concatenate([b_v, b_w]),
                 "Mw": Mw, "Mw_chol": Lw, "Mw_inv": Mw_inv, "Mw_ok": ok,
-                "lv": lv, "lw": lw}
+                "lv": lv, "lw": lw, "Qv": Qv, "Qw": Qw, "Wv": Wv}
 
     def _get_aux(self, s, aux):
         if aux is None or "Mw_chol" not in aux:
@@ -274,6 +280,87 @@ class EpiTrRelEntropyTri(Cone):
     def inv_hess(self, s, aux=None):
         eye = jnp.eye(self.dim, dtype=jnp.float64)
         return self.inv_hess_prod(s, eye, aux)
+
+    def dder3(self, s, d, aux=None):
+        """Explicit third-order oracle -1/2 grad^3 F(s)[d, d].
+
+        Assembled from guarded second/third divided differences of log
+        (parity: `epitrrelentropytri.jl:278-383` Δ3/Δ4 path), instead of a
+        jvp through the Hessian which NaNs at coincident eigenvalues.
+
+        Derivation: F = -log ζ - logdet V - logdet W with ζ = u - ξ,
+        ξ = tr(W log W) - tr(W log V).  With ν = ∇ζ/ζ = (a, b),
+        c1 = <ν, d>, Ξ2 = D²ξ[d,·], Ξ3 = D³ξ[d,d,·]:
+
+          dder3 = -Ξ3/(2ζ) + (c1/ζ)·Ξ2 + (c1² + <Ξ2,d>/(2ζ))·ν
+                  + (0, svec(V⁻¹Dv V⁻¹Dv V⁻¹), svec(W⁻¹Dw W⁻¹Dw W⁻¹))
+        """
+        if self.is_complex:
+            # complex variant keeps the jvp fallback (reference cone is
+            # real-only; validated via the stepper's dder3 identity gate)
+            return super().dder3(s, d, aux)
+        aux = self._get_aux(s, aux)
+        if "Qv" not in aux:
+            aux = self.point_aux(s)
+        n = self.w_len
+        u_d, v_d, w_d = d[0], d[1:1 + n], d[1 + n:]
+        lv, Qv, lw, Qw, Wv = (aux["lv"], aux["Qv"], aux["lw"], aux["Qw"],
+                              aux["Wv"])
+        zeta, a, b = aux["zeta"], aux["a"], aux["b"]
+
+        Dv, Dw = self._smat(v_d), self._smat(w_d)
+        Vd = Qv.T @ Dv @ Qv    # V-direction in V's eigenbasis
+        Cw = Qv.T @ Dw @ Qv    # W-direction in V's eigenbasis
+        Wd = Qw.T @ Dw @ Qw    # W-direction in W's eigenbasis
+
+        d1v = _log_fdd1(lv)
+        d1w = _log_fdd1(lw)
+        f2v = _log_fdd2(lv)
+        f2w = _log_fdd2(lw)
+        f3v = spectral.fdd3_tensor(f2v, 2.0 * lv**-3.0, lv)
+
+        rotV = lambda M: Qv @ M @ Qv.T
+        rotW = lambda M: Qw @ M @ Qw.T
+
+        def D2f(f2, A, B):
+            # second Fréchet derivative of log in the eigenbasis:
+            # M_ij = sum_k f2[i,k,j] (A_ik B_kj + B_ik A_kj)
+            return (jnp.einsum("ikj,ik,kj->ij", f2, A, B)
+                    + jnp.einsum("ikj,ik,kj->ij", f2, B, A))
+
+        # Ξ2 = D²ξ[d,·]  (ξ = φ(W) − ψ(V,W), ψ = tr(W log V))
+        Xi2_V = -(rotV(D2f(f2v, Vd, Wv)) + rotV(d1v * Cw))
+        Xi2_W = rotW(d1w * Wd) - rotV(d1v * Vd)
+
+        # ψ_VVV[dv,dv,·] in V's eigenbasis: gradient of
+        # tr(Wv · D³log(V)[Vd,Vd,·]) via the third divided differences
+        G1 = 2.0 * jnp.einsum("ikab,ik,ka,bi->ab", f3v, Vd, Vd, Wv)
+        G2 = 2.0 * jnp.einsum("iabj,ia,bj,ji->ab", f3v, Vd, Vd, Wv)
+        G3 = 2.0 * jnp.einsum("ablj,bl,lj,ja->ab", f3v, Vd, Vd, Wv)
+        G = G1 + G2 + G3
+        G = (G + G.T) / 2
+
+        Xi3_V = -(rotV(G) + 2.0 * rotV(D2f(f2v, Vd, Cw)))
+        Xi3_W = rotW(D2f(f2w, Wd, Wd)) - rotV(D2f(f2v, Vd, Vd))
+
+        xi2v, xi2w = self._svec(Xi2_V), self._svec(Xi2_W)
+        c1 = a * u_d + jnp.dot(b, d[1:])
+        sig2 = jnp.dot(xi2v, v_d) + jnp.dot(xi2w, w_d)
+        k1 = c1 * c1 + sig2 / (2.0 * zeta)
+
+        # logdet parts: V⁻¹ Dv V⁻¹ Dv V⁻¹ (and W analog) via the eigenbasis
+        Xv = Vd / lv[:, None] / lv[None, :]
+        Tv = rotV(Xv @ (Vd / lv[None, :]))
+        Xw = Wd / lw[:, None] / lw[None, :]
+        Tw = rotW(Xw @ (Wd / lw[None, :]))
+
+        bv, bw = b[:n], b[n:]
+        der_u = k1 * a
+        der_v = (self._svec(-Xi3_V / (2.0 * zeta) + (c1 / zeta) * Xi2_V + Tv)
+                 + k1 * bv)
+        der_w = (self._svec(-Xi3_W / (2.0 * zeta) + (c1 / zeta) * Xi2_W + Tw)
+                 + k1 * bw)
+        return jnp.concatenate([der_u[None], der_v, der_w])
 
 
 def _sym_inv(M):

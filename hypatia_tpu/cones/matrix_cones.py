@@ -66,6 +66,20 @@ class _MatrixMixin:
         rows, cols, is_diag = _svec_indices(self.side)
         return np.nonzero(is_diag)[0]
 
+    def _svec_sym(self, Y):
+        return self._svec((Y + Y.conj().T) / 2)
+
+    def _two_sided(self, M, arr):
+        """svec-operator (M (x) M) @ arr columnwise: B -> M smat(B) M."""
+        one = lambda col: self._svec_sym(M @ self._smat(col) @ M)
+        if arr.ndim == 1:
+            return one(arr)
+        return jax.vmap(one, in_axes=1, out_axes=1)(arr)
+
+    @staticmethod
+    def _rank1(sv, proj):
+        return sv[:, None] * proj[None, :] if proj.ndim else sv * proj
+
 
 def _psd_feas(W):
     L = jnp.linalg.cholesky(W)
@@ -294,39 +308,50 @@ class HypoRootdetTri(_MatrixMixin, ZetaCone):
         L = jnp.linalg.cholesky(self._smat(w))
         return -_chol_logdet(L)
 
+    has_closed_Mw = True
+
     def point_aux(self, s):
-        """Closed-form Mw: hess(xi) = (phi/d^2) vv' - (phi/d) Winv (x) Winv
+        """Structured Mw: hess(xi) = (phi/d^2) vv' - (phi/d) Winv (x) Winv
         with v = svec(W^-1), so Mw = hess(phi) - hess(xi)/zeta is
-        (1 + phi/(d zeta)) Winv(x)Winv minus a rank-1 term.  Assembled with
-        Cholesky only (eigh-free: TPU f64 eigh programs are very expensive
-        to compile, and every instance would be replicated across the
-        vmapped line search)."""
+
+            Mw = coeff * Winv(x)Winv - beta * vv',
+            coeff = 1 + phi/(d zeta),  beta = phi/(d^2 zeta).
+
+        Never materialized: Mw_prod is a two-sided product and Mw_solve is
+        Sherman-Morrison with (Winv(x)Winv)^-1[B] = W B W and the identity
+        coeff - beta*d = 1, so Mw^-1[R] = (W R W + beta*<svec W, r>*W)/coeff.
+        Replaces the O(d^5)-flop materialized svec operator + O(n^3) chol
+        per point (`possemideftri.jl:126-195`-style product oracles)."""
         u, w = s[0], s[1:]
         W = self._smat(w)
         Lc = jnp.linalg.cholesky(W)
         d = self.d
         phi = jnp.exp(2 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(Lc)))) / d)
         zeta = phi - u
-        n = self.dim - 1
         eye = jnp.eye(self.side, dtype=W.dtype)
-        Winv = linalg.cho_solve(Lc, eye)
+        Li = linalg.solve_tri(Lc, eye, lower=True)
+        Winv = Li.conj().T @ Li
         winv_svec = self._svec(Winv)
-        # materialize the operator B -> Winv B Winv in svec coordinates
-        basis = jax.vmap(self._smat)(jnp.eye(n, dtype=jnp.float64))
-        WiBWi = jnp.einsum("ab,nbc,cd->nad", Winv, basis.astype(W.dtype),
-                           Winv)
-        Kw = jax.vmap(self._svec)(WiBWi).T  # (n, n): Winv (x) Winv
         coeff = 1.0 + phi / (d * zeta)
-        Mw = coeff * Kw - (phi / (d * d * zeta)) * \
-            jnp.outer(winv_svec, winv_svec)
-        Mw = (Mw + Mw.T) / 2
-        Lw, ok = linalg.cholesky_shifted(Mw)
-        Mw_inv = linalg.chol_inverse(Lw)
+        beta = phi / (d * d * zeta)
         grad_xi = (phi / d) * winv_svec
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
-        return {"zeta": zeta, "a": a, "b": b, "Mw": Mw, "Mw_chol": Lw,
-                "Mw_inv": Mw_inv, "Mw_ok": ok, "grad_phi": -winv_svec}
+        return {"zeta": zeta, "a": a, "b": b, "W": W, "Winv": Winv,
+                "coeff": coeff, "beta": beta,
+                "Mw_ok": linalg.chol_ok(Lc), "grad_phi": -winv_svec}
+
+    def Mw_prod(self, aux, arr):
+        v = aux["Winv"]
+        sv = self._svec(v)
+        return (aux["coeff"] * self._two_sided(v, arr)
+                - aux["beta"] * self._rank1(sv, sv @ arr))
+
+    def Mw_solve(self, aux, arr):
+        W = aux["W"]
+        sw = self._svec(W)
+        return (self._two_sided(W, arr)
+                + aux["beta"] * self._rank1(sw, sw @ arr)) / aux["coeff"]
 
     def feas(self, s):
         ok, L = _psd_feas(self._smat(s[1:]))
@@ -393,11 +418,20 @@ class HypoPerLogdetTri(_MatrixMixin, ZetaCone):
         L = jnp.linalg.cholesky(self._smat(w))
         return -_chol_logdet(L) - jnp.log(v)
 
+    has_closed_Mw = True
+
     def point_aux(self, s):
-        """Closed-form arrow Mw over wbar = (v, svec W): hess(xi) has
+        """Structured arrow Mw over wbar = (v, svec W): hess(xi) has
         WW block -v Winv(x)Winv, vW border svec(W^-1), vv -d/v; with
-        hess(phi) = blkdiag(1/v^2, Winv(x)Winv). Cholesky-only assembly
-        (eigh-free; see HypoRootdetTri.point_aux)."""
+        hess(phi) = blkdiag(1/v^2, Winv(x)Winv):
+
+            Mw = [ mvv   mvw' ]   mvv = 1/v^2 + d/(v zeta)
+                 [ mvw  cw*Kw ]   mvw = -svec(Winv)/zeta, cw = 1 + v/zeta
+
+        Kw = Winv(x)Winv is never materialized: Mw_prod applies two-sided
+        products, Mw_solve does arrow block elimination with
+        Kw^-1[B] = W B W and the cancellation-free Schur scalar
+        mvv - d/(cw zeta^2) = 1/v^2 + d/(v (zeta + v)) > 0."""
         u, v, w = s[0], s[1], s[2:]
         W = self._smat(w)
         Lc = jnp.linalg.cholesky(W)
@@ -405,32 +439,41 @@ class HypoPerLogdetTri(_MatrixMixin, ZetaCone):
         logdet = 2 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(Lc))))
         xi = v * (logdet - d * jnp.log(v))
         zeta = xi - u
-        n = self.dim - 2
         eye = jnp.eye(self.side, dtype=W.dtype)
-        Winv = linalg.cho_solve(Lc, eye)
+        Li = linalg.solve_tri(Lc, eye, lower=True)
+        Winv = Li.conj().T @ Li
         winv_svec = self._svec(Winv)
-        basis = jax.vmap(self._smat)(jnp.eye(n, dtype=jnp.float64))
-        WiBWi = jnp.einsum("ab,nbc,cd->nad", Winv, basis.astype(W.dtype),
-                           Winv)
-        Kw = jax.vmap(self._svec)(WiBWi).T
+        cw = 1.0 + v / zeta
         mvv = 1.0 / v**2 + d / (v * zeta)
-        mvw = -winv_svec / zeta
-        Mww = (1.0 + v / zeta) * Kw
-        Mw = jnp.zeros((1 + n, 1 + n), dtype=jnp.float64)
-        Mw = Mw.at[0, 0].set(mvv)
-        Mw = Mw.at[0, 1:].set(mvw)
-        Mw = Mw.at[1:, 0].set(mvw)
-        Mw = Mw.at[1:, 1:].set(Mww)
-        Mw = (Mw + Mw.T) / 2
-        Lw, ok = linalg.cholesky_shifted(Mw)
-        Mw_inv = linalg.chol_inverse(Lw)
+        schur = 1.0 / v**2 + d / (v * (zeta + v))
         grad_xi = jnp.concatenate([
             (logdet - d * jnp.log(v) - d)[None], v * winv_svec])
         a = self.sgn / zeta
         b = -self.sgn * grad_xi / zeta
         grad_phi = jnp.concatenate([(-1.0 / v)[None], -winv_svec])
-        return {"zeta": zeta, "a": a, "b": b, "Mw": Mw, "Mw_chol": Lw,
-                "Mw_inv": Mw_inv, "Mw_ok": ok, "grad_phi": grad_phi}
+        return {"zeta": zeta, "a": a, "b": b, "W": W, "Winv": Winv,
+                "cw": cw, "mvv": mvv, "schur": schur,
+                "Mw_ok": linalg.chol_ok(Lc), "grad_phi": grad_phi}
+
+    def Mw_prod(self, aux, arr):
+        zeta, cw = aux["zeta"], aux["cw"]
+        mvw = -self._svec(aux["Winv"]) / zeta
+        rv, rw = arr[0], arr[1:]
+        out_v = aux["mvv"] * rv + mvw @ rw
+        out_w = self._rank1(mvw, rv) + cw * self._two_sided(aux["Winv"], rw)
+        return jnp.concatenate([out_v[None], out_w], axis=0)
+
+    def Mw_solve(self, aux, arr):
+        zeta, cw = aux["zeta"], aux["cw"]
+        W = aux["W"]
+        mvw = -self._svec(aux["Winv"]) / zeta
+        # Kw^-1 mvw = -svec(W)/zeta, so (cw*Kw)^-1 mvw = -svec(W)/(cw*zeta)
+        mhat = -self._svec(W) / (cw * zeta)
+        rv, rw = arr[0], arr[1:]
+        xw0 = self._two_sided(W, rw) / cw
+        xv = (rv - mvw @ xw0) / aux["schur"]
+        xw = xw0 - self._rank1(mhat, xv)
+        return jnp.concatenate([xv[None], xw], axis=0)
 
     def feas(self, s):
         u, v, w = s[0], s[1], s[2:]

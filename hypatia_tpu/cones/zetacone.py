@@ -42,6 +42,20 @@ class ZetaCone(Cone):
 
     sgn: float = 1.0
 
+    #: subclasses with structured Mw (e.g. Kronecker-of-inverse plus low
+    #: rank) set this and implement Mw_prod / Mw_solve; point_aux then need
+    #: not materialize or factor the (n x n) Mw at all — the oracles become
+    #: two-sided matrix products (`possemideftri.jl:126-195` style)
+    has_closed_Mw = False
+
+    def Mw_prod(self, aux, arr):
+        """Mw @ arr for arr of shape (n, m), closed form (has_closed_Mw)."""
+        raise NotImplementedError
+
+    def Mw_solve(self, aux, arr):
+        """Mw^{-1} @ arr for arr of shape (n, m) (has_closed_Mw)."""
+        raise NotImplementedError
+
     def xi(self, w):
         raise NotImplementedError
 
@@ -84,7 +98,9 @@ class ZetaCone(Cone):
         r_u, r_w = r[0, :], r[1:, :]
         y = r_u / a
         rhs_w = r_w - jnp.outer(b, y)
-        if "Mw_inv" in aux:
+        if self.has_closed_Mw:
+            x_w = self.Mw_solve(aux, rhs_w)
+        elif "Mw_inv" in aux:
             x_w = aux["Mw_inv"] @ rhs_w
         else:
             x_w = linalg.cho_solve(aux["Mw_chol"], rhs_w)
@@ -105,15 +121,18 @@ class ZetaCone(Cone):
 
     def hess_prod(self, s, arr, aux=None):
         """H = v v' + blkdiag(0, Mw) with materialized Mw — matmuls only."""
-        if aux is None or "Mw" not in aux:
+        if aux is None or ("Mw" not in aux and not self.has_closed_Mw):
             aux = self.point_aux(s)
-        a, b, Mw = aux["a"], aux["b"], aux["Mw"]
+        a, b = aux["a"], aux["b"]
         one_d = arr.ndim == 1
         A = arr[:, None] if one_d else arr
         d_u, d_w = A[0, :], A[1:, :]
         vdot = a * d_u + b @ d_w
         H_u = a * vdot
-        H_w = jnp.outer(b, vdot) + Mw @ d_w
+        if self.has_closed_Mw:
+            H_w = jnp.outer(b, vdot) + self.Mw_prod(aux, d_w)
+        else:
+            H_w = jnp.outer(b, vdot) + aux["Mw"] @ d_w
         out = jnp.concatenate([H_u[None, :], H_w], axis=0)
         return out[:, 0] if one_d else out
 

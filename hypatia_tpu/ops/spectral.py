@@ -15,6 +15,88 @@ import jax
 import jax.numpy as jnp
 
 
+def _round_robin_rounds(d):
+    """Static round-robin tournament schedule: list of rounds, each a list of
+    disjoint (p, q) index pairs covering all pairs over (d-1) rounds (d even;
+    odd d gets a bye)."""
+    m = d if d % 2 == 0 else d + 1
+    idx = list(range(m))
+    rounds = []
+    for _ in range(m - 1):
+        pairs = []
+        for i in range(m // 2):
+            a, b = idx[i], idx[m - 1 - i]
+            if a < d and b < d:
+                pairs.append((min(a, b), max(a, b)))
+        rounds.append(pairs)
+        # rotate all but the first element
+        idx = [idx[0]] + [idx[-1]] + idx[1:-1]
+    return rounds
+
+
+def jacobi_eigh(A, sweeps: int = 8):
+    """Cyclic-by-rounds two-sided Jacobi eigensolver for small symmetric or
+    Hermitian matrices. Returns (lam ascending, Q) with A ≈ Q diag(lam) Q'.
+
+    Motivation: the TPU f64 `eigh` is backward-stable but loses relative
+    accuracy on the small eigenvalues of ill-conditioned SPD matrices —
+    exactly the regime of the quantum relative entropy cone near convergence
+    (cond(V) ~ 1/mu). Two-sided Jacobi computes the small eigenvalues of SPD
+    matrices to high *relative* accuracy (Demmel-Veselic), which is what the
+    barrier oracles' log/divided-difference evaluations need.
+
+    Implementation: parallel-ordering (round-robin) sweeps, each round
+    applying all disjoint rotations as ONE orthogonal matrix built by
+    scatter, so a round costs two dxd matmuls on the MXU. Everything is
+    unrolled (static schedule) — no while_loop iteration overhead.
+    """
+    d = A.shape[-1]
+    dt = A.dtype
+    if d == 1:
+        return jnp.real(jnp.diagonal(A)), jnp.ones_like(A)
+    cplx = jnp.iscomplexobj(A)
+    rdt = jnp.finfo(dt).dtype
+    rounds = _round_robin_rounds(d)
+    tiny = jnp.asarray(np.finfo(np.float64).tiny, rdt)
+
+    Q = jnp.eye(d, dtype=dt)
+    for _ in range(sweeps):
+        for pairs in rounds:
+            P = np.array([p for p, _ in pairs])
+            Qi = np.array([q for _, q in pairs])
+            app = jnp.real(A[P, P])
+            aqq = jnp.real(A[Qi, Qi])
+            apq = A[P, Qi]
+            mag = jnp.abs(apq)
+            # phase u = conj(apq)/|apq| (1 when apq == 0): diag(1, u) makes
+            # the 2x2 pivot real positive (for real input u = sign(apq)),
+            # then a real Givens rotation zeroes it
+            u = jnp.where(mag > tiny,
+                          jnp.conj(apq) / jnp.where(mag > tiny, mag, 1.0),
+                          jnp.ones_like(apq))
+            # symmetric Schur 2x2 (Golub & Van Loan 8.4): zero the (p,q) entry
+            do = mag > tiny * jnp.maximum(1.0, jnp.maximum(jnp.abs(app),
+                                                           jnp.abs(aqq)))
+            tau = (aqq - app) / (2.0 * jnp.where(do, mag, 1.0))
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(tau == 0, jnp.ones_like(t), t)  # sign(0)=0 guard
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            c = jnp.where(do, c, jnp.ones_like(c))
+            s = jnp.where(do, s, jnp.zeros_like(s))
+            J = jnp.eye(d, dtype=dt)
+            J = J.at[(P, P)].set(c.astype(dt))
+            J = J.at[(P, Qi)].set(s.astype(dt))
+            J = J.at[(Qi, P)].set((-s * u).astype(dt))
+            J = J.at[(Qi, Qi)].set((c * u).astype(dt))
+            A = J.conj().T @ A @ J
+            A = (A + A.conj().T) / 2
+            Q = Q @ J
+    lam = jnp.real(jnp.diagonal(A))
+    order = jnp.argsort(lam)
+    return lam[order], Q[:, order]
+
+
 def eigh_refined(A):
     """eigh with one Newton orthogonality polish + Rayleigh-quotient
     eigenvalue update.
@@ -67,6 +149,52 @@ def fdd2_tensor(f_vals, f_der1, f_der2, lam):
     fallback = _fdd1_partial(f_vals, f_der1, f_der2, lam)  # (i, j)
     fallback = jnp.broadcast_to(fallback[:, :, None], generic.shape)
     return jnp.where(denom_ok, generic, fallback)
+
+
+def fdd3_tensor(f2, f_der3, lam):
+    """Third divided difference tensor F3[i,j,k,l] = f[li, lj, lk, ll]
+    (fully symmetric), built from the second-divided-difference tensor via
+    exact recurrences with a guarded fallback cascade (the same cascade as
+    the reference's Δ4_ij, `epitrrelentropytri.jl:538-573`):
+
+      generic            (f2[i,j,k] - f2[j,k,l]) / (li - ll)
+      li ~= ll           (f2[i,j,l] - f2[j,k,l]) / (li - lk)
+      li ~= ll ~= lk     (f2[i,k,l] - f2[j,k,l]) / (li - lj)
+      all coincident     f'''(li) / 6
+
+    Each alternative is an exact divided-difference recurrence (symmetry of
+    the arguments lets any pair be the dividing pair), so correctness only
+    needs the dividing pair to be separated.
+    """
+    rteps = jnp.sqrt(jnp.finfo(lam.dtype).eps)
+    li = lam[:, None, None, None]
+    lj = lam[None, :, None, None]
+    lk = lam[None, None, :, None]
+    ll = lam[None, None, None, :]
+
+    def sep(a, b):
+        return jnp.abs(a - b) > rteps * (jnp.maximum(jnp.abs(a), jnp.abs(b))
+                                         + 1e-300)
+
+    def safe(a, b, ok):
+        return jnp.where(ok, a - b, 1.0)
+
+    ok_il = sep(li, ll)
+    ok_ik = sep(li, lk)
+    ok_ij = sep(li, lj)
+
+    # (i,j,k) - (j,k,l) over (li - ll)
+    generic = (f2[:, :, :, None] - f2[None, :, :, :]) / safe(li, ll, ok_il)
+    # (i,j,l) - (j,k,l) over (li - lk)
+    alt1 = (f2[:, :, None, :] - f2[None, :, :, :]) / safe(li, lk, ok_ik)
+    # (i,k,l) - (j,k,l) over (li - lj)
+    alt2 = (f2[:, None, :, :] - f2[None, :, :, :]) / safe(li, lj, ok_ij)
+    # all-coincident limit f'''/6
+    limit = jnp.broadcast_to((f_der3 / 6.0)[:, None, None, None],
+                             generic.shape)
+    return jnp.where(ok_il, generic,
+                     jnp.where(ok_ik, alt1,
+                               jnp.where(ok_ij, alt2, limit)))
 
 
 def _fdd1_partial(f_vals, f_der1, f_der2, lam):

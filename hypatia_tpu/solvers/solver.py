@@ -478,6 +478,7 @@ class Solver:
             jnp.asarray(self.tol_slow, dtype=ctx.dtype))
         convh = jax.device_get(conv)
         timers["step"] = time.time() - t0
+        self.final_point = pt  # device iterate (for the phase profiler)
 
         code = int(status_code)
         self.status = fused.STATUS_CODES.get(code, "UnknownStatus")
