@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from hypatia_tpu.cones.base import Cone
+from hypatia_tpu.ops import linalg
 
 
 class PosSemidefTriSparse(Cone):
@@ -85,6 +86,19 @@ class PosSemidefTriSparse(Cone):
             M = M.at[self._cols[offd], self._rows[offd]].add(vals[offd])
         return M
 
+    def _pack(self, M):
+        """Adjoint of `_mat`: project a symmetric/Hermitian matrix onto the
+        pattern coordinates with the svec scaling (so that
+        <pack(M), s> = <M, mat(s)> for all s)."""
+        rt2 = jnp.sqrt(jnp.asarray(2.0, dtype=jnp.float64))
+        vals_rc = M[self._rows, self._cols]
+        diag = self._kinds == 0
+        im = self._kinds == 2
+        out = jnp.where(diag, jnp.real(vals_rc), rt2 * jnp.real(vals_rc))
+        if self.is_complex:
+            out = jnp.where(im, -rt2 * jnp.imag(vals_rc), out)
+        return out
+
     def barrier(self, s):
         L = jnp.linalg.cholesky(self._mat(s))
         return -2 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(L))))
@@ -92,3 +106,53 @@ class PosSemidefTriSparse(Cone):
     def feas(self, s):
         L = jnp.linalg.cholesky(self._mat(s))
         return jnp.all(jnp.isfinite(jnp.real(L)))
+
+    # -- explicit oracles (dense-impl semantics, `denseimpl.jl:24-122`) ----
+
+    def point_aux(self, s):
+        """X = mat(s), Cholesky, explicit inverse; the Hessian is the
+        pattern-projected Kronecker H[p,q] = <A_p, X^-1 A_q X^-1> —
+        materialized by columns of two-sided products and factored for the
+        inverse oracle (the projection destroys the closed-form inverse,
+        as in the reference dense impl)."""
+        X = self._mat(s)
+        L = jnp.linalg.cholesky(X)
+        eye = jnp.eye(self.side, dtype=X.dtype)
+        Li = linalg.solve_tri(L, eye, lower=True)
+        Xinv = Li.conj().T @ Li
+        cols = jax.vmap(
+            lambda e: self._pack(Xinv @ self._mat(e) @ Xinv),
+            in_axes=0)(jnp.eye(self.dim, dtype=jnp.float64))
+        H = (cols + cols.T) / 2
+        Lh, ok = linalg.cholesky_shifted(H)
+        return {"X": X, "L": L, "Xinv": Xinv, "hess": H, "hess_chol": Lh,
+                "hess_chol_ok": ok, "hess_inv": linalg.chol_inverse(Lh)}
+
+    def _get_aux(self, s, aux):
+        if aux is None or "Xinv" not in aux:
+            return self.point_aux(s)
+        return aux
+
+    def grad(self, s, aux=None):
+        aux = self._get_aux(s, aux)
+        return -self._pack(aux["Xinv"])
+
+    def hess_prod(self, s, arr, aux=None):
+        aux = self._get_aux(s, aux)
+        Xinv = aux["Xinv"]
+
+        def one(col):
+            Y = Xinv @ self._mat(col) @ Xinv
+            return self._pack((Y + Y.conj().T) / 2)
+
+        if arr.ndim == 1:
+            return one(arr)
+        return jax.vmap(one, in_axes=1, out_axes=1)(arr)
+
+    def dder3(self, s, d, aux=None):
+        aux = self._get_aux(s, aux)
+        Xinv = aux["Xinv"]
+        D = self._mat(d)
+        Y = Xinv @ D
+        Z = Y @ Y @ Xinv  # X^-1 D X^-1 D X^-1
+        return self._pack((Z + Z.conj().T) / 2)

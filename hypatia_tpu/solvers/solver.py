@@ -135,6 +135,7 @@ class Solver:
         max_ref_steps=5,
         fused=None,
         dtype=np.float64,
+        mesh=None,
     ):
         self.dtype = np.dtype(dtype)
         tols = default_tols(self.dtype, default_tol_relax)
@@ -169,6 +170,12 @@ class Solver:
         )
         self.max_ref_steps = max_ref_steps
         self.fused = fused
+        #: jax.sharding.Mesh for a SINGLE-model distributed solve: the cone
+        #: (q) axis of the Schur assembly is row-sharded over the mesh's
+        #: first axis with a compiler-inserted psum (see solvers/shard.py)
+        self.mesh = mesh
+        if mesh is not None:
+            assert syssolver == "qrchol", "sharded solve uses qrchol"
 
         self.status = "NotLoaded"
         self.num_iters = 0
@@ -216,6 +223,14 @@ class Solver:
     # -- main solve --------------------------------------------------------
 
     def solve(self):
+        from hypatia_tpu.solvers import shard as shardmod
+
+        # keep the mesh active for every jit trace in the solve (fused loop
+        # and host-mode step programs alike)
+        with shardmod.mesh_scope(self.mesh):
+            return self._solve_impl()
+
+    def _solve_impl(self):
         assert self.status == "Loaded"
         self.status = "SolveCalled"
         start_time = time.time()
@@ -285,6 +300,8 @@ class Solver:
 
         # build static context + device data
         t0 = time.time()
+        from hypatia_tpu.solvers import shard as shardmod
+
         ctx = StepContext(
             cones=tuple(model.cones),
             cone_idxs=tuple(model.cone_idxs),
@@ -293,6 +310,9 @@ class Solver:
             syssolver=self.syssolver,
             stepper=self.stepper,
             max_ref_steps=self.max_ref_steps,
+            shard_axis=(self.mesh.axis_names[0]
+                        if self.mesh is not None else None),
+            mesh_key=shardmod.mesh_key(self.mesh),
             **self.stepper_opts,
         )
         self.ctx = ctx
@@ -310,6 +330,20 @@ class Solver:
                 data["GQ2"] = jnp.asarray(GQ[:, model.p:])
             else:
                 data["GQ2"] = data["G"]
+        if self.mesh is not None and model.q % self.mesh.devices.size == 0:
+            # place the q-axis data row-sharded over the mesh; everything
+            # else replicated (GSPMD partitions the step accordingly).
+            # Uneven q skips the placement — update_lhs zero-pads and
+            # constrains the shard there instead.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = self.mesh.axis_names[0]
+            row = NamedSharding(self.mesh, P(ax, None))
+            vec = NamedSharding(self.mesh, P(ax))
+            for key in ("G", "GQ2", "GQ1"):
+                if key in data:
+                    data[key] = jax.device_put(data[key], row)
+            data["h"] = jax.device_put(data["h"], vec)
         self.data = data
 
         pt = {

@@ -44,6 +44,11 @@ class StepContext:
     use_max_prox: bool = True
     alpha_sched: Tuple[float, ...] = DEFAULT_ALPHA_SCHED
     max_ref_steps: int = 5
+    #: mesh axis name for row-sharding the cone (q) axis of the Schur
+    #: assembly in update_lhs (None = unsharded); mesh_key makes distinct
+    #: meshes distinct jit cache entries
+    shard_axis: Any = None
+    mesh_key: Tuple = ()
 
     def _key(self):
         return (
@@ -52,7 +57,8 @@ class StepContext:
             self.stepper, self.use_adjustment, self.use_curve_search,
             self.max_cent_steps, self.pred_prox_bound, self.shift_sched,
             self.min_prox, self.prox_bound, self.use_max_prox,
-            self.alpha_sched, self.max_ref_steps,
+            self.alpha_sched, self.max_ref_steps, self.shard_axis,
+            self.mesh_key,
         )
 
     def __hash__(self):

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from hypatia_tpu.ops import linalg
+from hypatia_tpu.solvers import shard
 from hypatia_tpu.solvers.structures import (
     block_hess_prod,
     blockwise,
@@ -94,7 +95,21 @@ def update_lhs(ctx, data, iter_aux):
             start, dim = ctx.cone_idxs[k]
             Hk = block_hess_prod(ctx, iter_aux, k, GQ2[start:start + dim, :])
             HGQ2 = HGQ2.at[start:start + dim, :].set(Hk)
-        lhs = GQ2.T @ HGQ2
+        if ctx.shard_axis is not None:
+            # row-shard the cone axis (zero-padded to the device count):
+            # each device syrks its local block rows, XLA all-reduces
+            # (psum) the (n-p)^2 partial sums over the mesh; the
+            # factorization below is replicated
+            ndev = len(ctx.mesh_key[1])
+            pad = (-GQ2.shape[0]) % ndev
+            GQ2p = jnp.pad(GQ2, ((0, pad), (0, 0)))
+            HGQ2p = jnp.pad(HGQ2, ((0, pad), (0, 0)))
+            GQ2p = shard.constrain(GQ2p, ctx.shard_axis, None)
+            HGQ2p = shard.constrain(HGQ2p, ctx.shard_axis, None)
+            lhs = GQ2p.T @ HGQ2p
+            lhs = shard.constrain(lhs, None, None)
+        else:
+            lhs = GQ2.T @ HGQ2
         lhs = (lhs + lhs.T) / 2
         L, ok = linalg.cholesky_shifted(lhs)
         sys["schur_chol"] = L

@@ -59,6 +59,12 @@ def oracle_cones():
         cones.EpiTrRelEntropyTri(7),
         cones.EpiTrRelEntropyTri(9, is_complex=True),
         cones.WSOSInterpNonnegative(3, [np.vander(np.linspace(-1, 1, 3), 2)]),
+        cones.WSOSInterpPosSemidefTri(
+            2, 3, [np.vander(np.linspace(-1, 1, 3), 2)]),
+        cones.WSOSInterpEpiNormEucl(
+            2, 3, [np.vander(np.linspace(-1, 1, 3), 2)]),
+        cones.WSOSInterpEpiNormOne(
+            2, 3, [np.vander(np.linspace(-1, 1, 3), 2)]),
         cones.PosSemidefTriSparse(3, [0, 1, 1, 2, 2], [0, 0, 1, 1, 2]),
         cones.PosSemidefTriSparse(3, [0, 1, 1, 2, 2], [0, 0, 1, 1, 2],
                                   is_complex=True),

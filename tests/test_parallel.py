@@ -68,3 +68,69 @@ def test_sharded_schur_assembly():
     sol, ref = demo_sharded_kkt_step(n_dev, n=16, q=16 * n_dev)
     assert ref is not None
     np.testing.assert_allclose(sol, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_single_model_solve():
+    """Full fused solve of ONE model with the Schur assembly row-sharded
+    over the mesh (Solver(mesh=...)): identical status/iterates/objective
+    to the unsharded path."""
+    from hypatia_tpu import Solver
+
+    model = _random_lp(3, m=16, n=48)
+    ref = Solver(verbose=False, fused=True, default_tol_relax=10)
+    ref.load(model)
+    ref.solve()
+    assert ref.get_status() == "Optimal"
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("cones",))
+    sh = Solver(verbose=False, fused=True, default_tol_relax=10, mesh=mesh)
+    sh.load(_random_lp(3, m=16, n=48))
+    sh.solve()
+    assert sh.get_status() == "Optimal"
+    # iterate trajectories can differ by a step or two: the sharded Schur
+    # psum sums partial products in a different order, and the IPM's
+    # discrete alpha choices amplify the last-bit differences
+    assert abs(sh.get_num_iters() - ref.get_num_iters()) <= 3
+    np.testing.assert_allclose(sh.get_primal_obj(), ref.get_primal_obj(),
+                               rtol=1e-7, atol=1e-9)
+    # zero (nonbasic) entries land anywhere below the solve tolerance
+    np.testing.assert_allclose(sh.get_x(), ref.get_x(), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_sharded_single_model_socp():
+    """Sharded solve with heterogeneous cones (Nonnegative + EpiNormEucl
+    blocks spanning shard boundaries)."""
+    from hypatia_tpu import Solver
+
+    rng = np.random.default_rng(11)
+    n = 9
+    # portfolio-style SOCP: max c'x s.t. sum x = 1, x >= 0, ||F x|| <= g'x
+    sigma = rng.random((n, n)) * 0.1
+    sigma = sigma @ sigma.T + np.eye(n)
+    F = np.linalg.cholesky(sigma).T
+    c = -rng.random(n)
+    A = np.ones((1, n))
+    b = np.array([1.0])
+    gamma = 1.2
+    G = np.vstack([-np.eye(n),
+                   np.concatenate([[-gamma]], axis=0) * np.ones((1, n)) * 0,
+                   -F])
+    G[n, :] = 0.0
+    h = np.zeros(n + 1 + n)
+    h[n] = gamma
+    model = Model(c, A, b, G, h,
+                  [cones.Nonnegative(n), cones.EpiNormEucl(1 + n)])
+
+    ref = Solver(verbose=False, fused=True, default_tol_relax=10)
+    ref.load(model)
+    ref.solve()
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("cones",))
+    sh = Solver(verbose=False, fused=True, default_tol_relax=10, mesh=mesh)
+    sh.load(model.copy() if hasattr(model, "copy") else model)
+    sh.solve()
+    assert sh.get_status() == ref.get_status()
+    assert abs(sh.get_num_iters() - ref.get_num_iters()) <= 3
+    np.testing.assert_allclose(sh.get_primal_obj(), ref.get_primal_obj(),
+                               rtol=1e-7, atol=1e-9)
