@@ -86,7 +86,14 @@ def jacobi_eigh(A, sweeps: int = 6):
         do = mag > tiny * jnp.maximum(1.0, jnp.maximum(jnp.abs(app),
                                                        jnp.abs(aqq)))
         tau = (aqq - app) / (2.0 * jnp.where(do, mag, 1.0))
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        # large-tau asymptotic t ~ 1/(2 tau): tau^2 overflows the f32-pair
+        # f64 emulation on the axon TPU backend (inf arithmetic inside the
+        # compensated products yields NaN), so never square a large tau
+        big = jnp.abs(tau) > 1e8
+        tau_c = jnp.where(big, 1.0, tau)
+        t = jnp.sign(tau_c) / (jnp.abs(tau_c)
+                               + jnp.sqrt(1.0 + tau_c * tau_c))
+        t = jnp.where(big, 0.5 / tau, t)
         t = jnp.where(tau == 0, jnp.ones_like(t), t)  # sign(0)=0 guard
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
