@@ -40,7 +40,7 @@ from hypatia_tpu.ops.svec import (
 
 
 def _eps(x):
-    return jnp.finfo(jnp.float64).eps
+    return jnp.finfo(x.dtype).eps
 
 
 def _log_fdd1(lam):
@@ -208,7 +208,8 @@ class EpiTrRelEntropyTri(Cone):
 
         # VV: phi part + (1/zeta) * (-T) with
         # T[B]~_ij = sum_k f2[i,k,j] (Wv_ik B~_kj + B~_ik Wv_kj)
-        basis = jax.vmap(self._smat)(jnp.eye(n, dtype=jnp.float64))  # (n,d,d)
+        basis = jax.vmap(self._smat)(
+            jnp.eye(n, dtype=jnp.real(W).dtype))  # (n,d,d)
         Bt = jnp.einsum("ab,nbc,cd->nad", Qv.conj().T, basis.astype(Qv.dtype),
                         Qv)
         TB = (jnp.einsum("ikj,ik,nkj->nij", f2v, Wv, Bt)
@@ -258,7 +259,7 @@ class EpiTrRelEntropyTri(Cone):
         return out[:, 0] if one_d else out
 
     def hess(self, s, aux=None):
-        eye = jnp.eye(self.dim, dtype=jnp.float64)
+        eye = jnp.eye(self.dim, dtype=s.dtype)
         return self.hess_prod(s, eye, aux)
 
     def inv_hess_prod(self, s, arr, aux=None):
@@ -278,7 +279,7 @@ class EpiTrRelEntropyTri(Cone):
         return out[:, 0] if one_d else out
 
     def inv_hess(self, s, aux=None):
-        eye = jnp.eye(self.dim, dtype=jnp.float64)
+        eye = jnp.eye(self.dim, dtype=s.dtype)
         return self.inv_hess_prod(s, eye, aux)
 
     def dder3(self, s, d, aux=None):

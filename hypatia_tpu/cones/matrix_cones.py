@@ -30,7 +30,7 @@ from hypatia_tpu.ops.svec import (
 
 
 def _eps(x):
-    return jnp.finfo(jnp.float64).eps
+    return jnp.finfo(x.dtype).eps
 
 
 def _chol_logdet(L):

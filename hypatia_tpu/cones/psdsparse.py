@@ -68,10 +68,11 @@ class PosSemidefTriSparse(Cone):
         return pt
 
     def _mat(self, s):
-        irt2 = 1.0 / jnp.sqrt(jnp.asarray(2.0, dtype=jnp.float64))
+        irt2 = 1.0 / jnp.sqrt(jnp.asarray(2.0, dtype=s.dtype))
         weights = jnp.where(self._kinds == 0, 1.0, irt2)
         vals = s * weights
-        dtype = jnp.complex128 if self.is_complex else jnp.float64
+        dtype = (jnp.complex64 if s.dtype == jnp.float32 else
+                 jnp.complex128) if self.is_complex else s.dtype
         M = jnp.zeros((self.side, self.side), dtype=dtype)
         if self.is_complex:
             re = jnp.where(self._kinds != 2, vals, 0.0)
@@ -90,7 +91,7 @@ class PosSemidefTriSparse(Cone):
         """Adjoint of `_mat`: project a symmetric/Hermitian matrix onto the
         pattern coordinates with the svec scaling (so that
         <pack(M), s> = <M, mat(s)> for all s)."""
-        rt2 = jnp.sqrt(jnp.asarray(2.0, dtype=jnp.float64))
+        rt2 = jnp.sqrt(jnp.asarray(2.0, dtype=jnp.real(M).dtype))
         vals_rc = M[self._rows, self._cols]
         diag = self._kinds == 0
         im = self._kinds == 2
@@ -122,7 +123,7 @@ class PosSemidefTriSparse(Cone):
         Xinv = Li.conj().T @ Li
         cols = jax.vmap(
             lambda e: self._pack(Xinv @ self._mat(e) @ Xinv),
-            in_axes=0)(jnp.eye(self.dim, dtype=jnp.float64))
+            in_axes=0)(jnp.eye(self.dim, dtype=s.dtype))
         H = (cols + cols.T) / 2
         Lh, ok = linalg.cholesky_shifted(H)
         return {"X": X, "L": L, "Xinv": Xinv, "hess": H, "hess_chol": Lh,

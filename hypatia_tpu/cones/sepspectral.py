@@ -23,7 +23,7 @@ from hypatia_tpu.cones.centralray import solve_central_ray
 
 
 def _eps(x):
-    return jnp.finfo(jnp.float64).eps
+    return jnp.finfo(x.dtype).eps
 
 
 class SepSpectralFun:

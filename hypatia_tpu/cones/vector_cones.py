@@ -221,7 +221,7 @@ class EpiNormInf(Cone):
         return out[:, 0] if one_d else out
 
     def hess(self, s, aux=None):
-        eye = jnp.eye(self.dim, dtype=jnp.float64)
+        eye = jnp.eye(self.dim, dtype=s.dtype)
         return self.hess_prod(s, eye, aux)
 
     def inv_hess_prod(self, s, arr, aux=None):

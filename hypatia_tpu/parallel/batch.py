@@ -159,20 +159,26 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         status = jnp.where(out["status"] == 0, 6, out["status"])
         return out["pt"], status, out["it"]
 
-    chunk = 8
+    chunk = 16
+
+    from hypatia_tpu.ops import linalg as _linalg
 
     @jax.jit
     def chunk_step_all(data_b, carry):
         # lax.scan of the vmapped body: `chunk` iterations per device
         # call, amortizing program dispatch (the batched while_loop
-        # crashes the TPU XLA compiler, but a fixed-trip scan compiles)
-        body_fn = fused.make_body(ctx, conv_tols, tols)
-        batched = jax.vmap(body_fn, in_axes=(0, 0))
+        # crashes the TPU XLA compiler, but a fixed-trip scan compiles).
+        # Under vmap every lax.cond lowers to a select (both branches run
+        # for all lanes), so the cholesky retry chain would always pay all
+        # its factorizations — trace with a single recovery shift instead.
+        with _linalg.chol_tries(2):
+            body_fn = fused.make_body(ctx, conv_tols, tols)
+            batched = jax.vmap(body_fn, in_axes=(0, 0))
 
-        def sbody(c, _):
-            return batched(data_b, c), None
+            def sbody(c, _):
+                return batched(data_b, c), None
 
-        return jax.lax.scan(sbody, carry, None, length=chunk)[0]
+            return jax.lax.scan(sbody, carry, None, length=chunk)[0]
 
     def hostloop():
         # host-driven loop over scan chunks; one device call per `chunk`

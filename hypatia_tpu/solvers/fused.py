@@ -94,14 +94,18 @@ def make_body(ctx, conv_tols, tols, tol_slow=1e-3):
             cutoff = 1e-4 * jnp.maximum(
                 jnp.maximum(conv["x_norm_res"], conv["y_norm_res"]),
                 jnp.maximum(conv["z_norm_res"], conv["tau_feas"]))
-            new_pt, info = steppers.step_combined(ctx, data, pt, residuals,
-                                                  cutoff)
-            return new_pt, info["found"], info["worst_dir_res"]
+            new_pt, info = steppers.step_combined(
+                ctx, data, pt, residuals, cutoff,
+                prev_sched=carry["sched_idx"])
+            return new_pt, info["found"], info["worst_dir_res"], \
+                info["sched_idx"]
 
         def no_step(pt):
-            return pt, jnp.asarray(True), jnp.zeros((), dtype=ctx.dtype)
+            return (pt, jnp.asarray(True), jnp.zeros((), dtype=ctx.dtype),
+                    carry["sched_idx"])
 
-        new_pt, found, wdr = jax.lax.cond(status == 0, do_step, no_step, pt)
+        new_pt, found, wdr, sched_idx = jax.lax.cond(
+            status == 0, do_step, no_step, pt)
 
         mu_new = calc_mu(ctx, new_pt)
         bad = (~found) | (jnp.minimum(jnp.minimum(new_pt["tau"],
@@ -120,6 +124,7 @@ def make_body(ctx, conv_tols, tols, tol_slow=1e-3):
             "prev_slow": prev_slow,
             "prev2_slow": prev2_slow,
             "worst_dir_res": jnp.maximum(carry["worst_dir_res"], wdr),
+            "sched_idx": sched_idx,
         }
 
     return body
@@ -134,6 +139,7 @@ def init_carry(ctx, pt0):
         "prev_slow": jnp.asarray(False),
         "prev2_slow": jnp.asarray(False),
         "worst_dir_res": jnp.zeros((), dtype=ctx.dtype),
+        "sched_idx": jnp.zeros((), dtype=jnp.int32),
     }
 
 

@@ -89,8 +89,9 @@ def _conv_jit(ctx, data, conv_tols, pt):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _step_combined_jit(ctx, data, pt, residuals, cutoff):
-    return steppers.step_combined(ctx, data, pt, residuals, cutoff)
+def _step_combined_jit(ctx, data, pt, residuals, cutoff, prev_sched):
+    return steppers.step_combined(ctx, data, pt, residuals, cutoff,
+                                  prev_sched)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -132,6 +133,7 @@ class Solver:
         use_max_prox=True,
         prox_bound=0.99,
         min_prox=0.01,
+        shift_sched=0,
         max_ref_steps=5,
         fused=None,
         dtype=np.float64,
@@ -167,6 +169,7 @@ class Solver:
             use_max_prox=use_max_prox,
             prox_bound=prox_bound,
             min_prox=min_prox,
+            shift_sched=shift_sched,
         )
         self.max_ref_steps = max_ref_steps
         self.fused = fused
@@ -316,18 +319,19 @@ class Solver:
             **self.stepper_opts,
         )
         self.ctx = ctx
+        dt = jnp.dtype(self.dtype)
         data = {
-            "c": jnp.asarray(model.c), "A": jnp.asarray(model.A),
-            "b": jnp.asarray(model.b), "G": jnp.asarray(model.G),
-            "h": jnp.asarray(model.h),
+            "c": jnp.asarray(model.c, dt), "A": jnp.asarray(model.A, dt),
+            "b": jnp.asarray(model.b, dt), "G": jnp.asarray(model.G, dt),
+            "h": jnp.asarray(model.h, dt),
         }
         if self.syssolver == "qrchol":
             if model.p > 0:
                 GQ = model.G @ pre.Ap_Q
-                data["Ap_Q"] = jnp.asarray(pre.Ap_Q)
-                data["Ap_R"] = jnp.asarray(pre.Ap_R)
-                data["GQ1"] = jnp.asarray(GQ[:, :model.p])
-                data["GQ2"] = jnp.asarray(GQ[:, model.p:])
+                data["Ap_Q"] = jnp.asarray(pre.Ap_Q, dt)
+                data["Ap_R"] = jnp.asarray(pre.Ap_R, dt)
+                data["GQ1"] = jnp.asarray(GQ[:, :model.p], dt)
+                data["GQ2"] = jnp.asarray(GQ[:, model.p:], dt)
             else:
                 data["GQ2"] = data["G"]
         if self.mesh is not None and model.q % self.mesh.devices.size == 0:
@@ -347,8 +351,8 @@ class Solver:
         self.data = data
 
         pt = {
-            "x": jnp.asarray(pre.init_x), "y": jnp.asarray(pre.init_y),
-            "z": jnp.asarray(init_z), "s": jnp.asarray(init_s),
+            "x": jnp.asarray(pre.init_x, dt), "y": jnp.asarray(pre.init_y, dt),
+            "z": jnp.asarray(init_z, dt), "s": jnp.asarray(init_s, dt),
             "tau": jnp.ones((), dtype=ctx.dtype),
             "kap": jnp.ones((), dtype=ctx.dtype),
         }
@@ -360,11 +364,11 @@ class Solver:
 
         conv_tols = {
             "x": jnp.asarray(1.0 / (1.0 + np.max(np.abs(model.c),
-                                                 initial=0.0))),
+                                                 initial=0.0)), dt),
             "y": jnp.asarray(1.0 / (1.0 + np.max(np.abs(model.b),
-                                                 initial=0.0))),
+                                                 initial=0.0)), dt),
             "z": jnp.asarray(1.0 / (1.0 + np.max(np.abs(model.h),
-                                                 initial=0.0))),
+                                                 initial=0.0)), dt),
         }
         timers["loadsys"] = time.time() - t0
 
@@ -390,6 +394,7 @@ class Solver:
                   f"{'step':>5} {'alpha':>9}")
         prev_alpha = 0.0
         prev_mode = -1
+        prev_sched = jnp.zeros((), dtype=jnp.int32)
         mode_names = {0: "co-a", 1: "comb", 2: "ce-a", 3: "cent", 4: "pr-a"}
 
         while True:
@@ -453,7 +458,8 @@ class Solver:
             t0 = time.time()
             if self.stepper == "combined":
                 pt, info = _step_combined_jit(ctx, data, pt, residuals,
-                                              cutoff)
+                                              cutoff, prev_sched)
+                prev_sched = info["sched_idx"]
             else:
                 is_pred = (cent_count >= self.stepper_opts["max_cent_steps"]
                            or prox < self.stepper_opts["pred_prox_bound"])
@@ -500,11 +506,11 @@ class Solver:
         from hypatia_tpu.solvers import fused
 
         tols = {
-            "tol_feas": jnp.asarray(self.tol_feas),
-            "tol_rel_opt": jnp.asarray(self.tol_rel_opt),
-            "tol_abs_opt": jnp.asarray(self.tol_abs_opt),
-            "tol_infeas": jnp.asarray(self.tol_infeas),
-            "tol_illposed": jnp.asarray(self.tol_illposed),
+            "tol_feas": jnp.asarray(self.tol_feas, ctx.dtype),
+            "tol_rel_opt": jnp.asarray(self.tol_rel_opt, ctx.dtype),
+            "tol_abs_opt": jnp.asarray(self.tol_abs_opt, ctx.dtype),
+            "tol_infeas": jnp.asarray(self.tol_infeas, ctx.dtype),
+            "tol_illposed": jnp.asarray(self.tol_illposed, ctx.dtype),
         }
         t0 = time.time()
         pt, status_code, iters, conv, wdr = fused.fused_solve_jit(

@@ -218,37 +218,68 @@ def make_candidate(ctx, pt, dirs, alpha, mode, full=False):
     return out
 
 
-def search_alpha(ctx, pt, dirs, mode):
-    """Batched backtracking search: all candidate alphas checked in parallel,
-    return (found, alpha, proxsqr) for the largest passing alpha."""
+def search_alpha(ctx, pt, dirs, mode, start_idx=None):
+    """Batched backtracking search: candidate alphas checked in parallel,
+    return (found, alpha, proxsqr, sched_idx) for the largest passing alpha.
+
+    With `start_idx` (traced int32, from a warm start — reference
+    `combined.jl:173-176` start_sched), only a fixed window of the schedule
+    starting there is checked; if none in the window pass, fall back to the
+    full batched search. `start_idx=None` checks the full schedule."""
     alphas = jnp.asarray(ctx.alpha_sched, dtype=ctx.dtype)
+    n_sched = alphas.shape[0]
 
     def check_one(alpha):
         cand = make_candidate(ctx, pt, dirs, alpha, mode, full=False)
         return check_cone_points(ctx, cand["z"], cand["s"], cand["tau"],
                                  cand["kap"])
 
-    oks, proxs = jax.vmap(check_one)(alphas)
-    found = jnp.any(oks)
-    idx = jnp.argmax(oks)  # first True = largest alpha (schedule descending)
-    alpha = jnp.where(found, alphas[idx], jnp.zeros((), dtype=ctx.dtype))
-    proxsqr = jnp.where(found, proxs[idx], jnp.zeros((), dtype=ctx.dtype))
-    return found, alpha, proxsqr
+    def full_search():
+        oks, proxs = jax.vmap(check_one)(alphas)
+        found = jnp.any(oks)
+        # first True = largest alpha (schedule descending)
+        idx = jnp.argmax(oks)
+        alpha = jnp.where(found, alphas[idx], jnp.zeros((), dtype=ctx.dtype))
+        proxsqr = jnp.where(found, proxs[idx],
+                            jnp.zeros((), dtype=ctx.dtype))
+        return found, alpha, proxsqr, idx.astype(jnp.int32)
+
+    if start_idx is None:
+        return full_search()
+
+    window = min(8, n_sched)
+    start = jnp.clip(start_idx, 0, n_sched - window)
+
+    def window_search():
+        w_alphas = jax.lax.dynamic_slice(alphas, (start,), (window,))
+        oks, proxs = jax.vmap(check_one)(w_alphas)
+        found = jnp.any(oks)
+        idx = jnp.argmax(oks)
+        alpha = jnp.where(found, w_alphas[idx],
+                          jnp.zeros((), dtype=ctx.dtype))
+        proxsqr = jnp.where(found, proxs[idx],
+                            jnp.zeros((), dtype=ctx.dtype))
+        return found, alpha, proxsqr, (start + idx).astype(jnp.int32)
+
+    res_w = window_search()
+    return jax.lax.cond(res_w[0], lambda: res_w, full_search)
 
 
-def _search_cascade(ctx, pt, dirs, modes):
+def _search_cascade(ctx, pt, dirs, modes, start_idx=None):
     """Try step modes in order, stopping at the first that admits a positive
-    alpha (`combined.jl:86-113` fallback chain). Returns
-    (found, alpha, proxsqr, mode_idx)."""
+    alpha (`combined.jl:86-113` fallback chain). The warm start (if any)
+    applies to the first mode only; fallback modes search the full schedule.
+    Returns (found, alpha, proxsqr, mode_idx, sched_idx)."""
 
     def try_mode(i):
-        found, alpha, proxsqr = search_alpha(ctx, pt, dirs, modes[i])
+        found, alpha, proxsqr, sidx = search_alpha(
+            ctx, pt, dirs, modes[i], start_idx if i == 0 else None)
         mode_arr = jnp.asarray(modes[i])
         if i + 1 == len(modes):
-            return found, alpha, proxsqr, mode_arr
+            return found, alpha, proxsqr, mode_arr, sidx
         return jax.lax.cond(
             found,
-            lambda: (found, alpha, proxsqr, mode_arr),
+            lambda: (found, alpha, proxsqr, mode_arr, sidx),
             lambda: try_mode(i + 1),
         )
 
@@ -260,8 +291,13 @@ def _search_cascade(ctx, pt, dirs, modes):
 # ---------------------------------------------------------------------------
 
 
-def step_combined(ctx, data, pt, residuals, res_norm_cutoff):
+def step_combined(ctx, data, pt, residuals, res_norm_cutoff,
+                  prev_sched=None):
     """One iteration of the combined stepper (`combined.jl:53-122`).
+
+    `prev_sched` (traced int32) warm-starts the line search from the
+    previous accepted schedule index when `ctx.shift_sched > 0`
+    (`combined.jl:173-176`).
 
     Returns (new_point, info) where info carries alpha/prox/worst_dir_res/
     step-mode/failure flags as device scalars.
@@ -282,7 +318,11 @@ def step_combined(ctx, data, pt, residuals, res_norm_cutoff):
             "pred": dir_pred, "predadj": dir_predadj}
 
     modes = (0, 1, 2, 3) if ctx.use_adjustment else (1, 3)
-    found, alpha, proxsqr, mode = _search_cascade(ctx, pt, dirs, modes)
+    start_idx = None
+    if ctx.shift_sched > 0 and prev_sched is not None:
+        start_idx = jnp.maximum(prev_sched - ctx.shift_sched, 0)
+    found, alpha, proxsqr, mode, sched_idx = _search_cascade(
+        ctx, pt, dirs, modes, start_idx)
 
     branches = [
         lambda m=m: make_candidate(ctx, pt, dirs, alpha, m, full=True)
@@ -300,6 +340,7 @@ def step_combined(ctx, data, pt, residuals, res_norm_cutoff):
         "worst_dir_res": worst_dir_res,
         "mode": mode,
         "found": found,
+        "sched_idx": sched_idx,
         "schur_ok": sys.get("schur_ok", jnp.asarray(True)),
     }
     return new_pt, info
@@ -348,14 +389,15 @@ def step_predorcent(ctx, data, pt, residuals, res_norm_cutoff, is_pred):
         modes = (3,)
 
     if modes is not None:
-        found, alpha, proxsqr, mode = _search_cascade(ctx, pt, dirs, modes)
+        found, alpha, proxsqr, mode, _ = _search_cascade(ctx, pt, dirs,
+                                                         modes)
     else:
         # two line searches (`predorcent.jl:108-146`): first unadjusted,
         # then adjusted with factor alpha * unadj_alpha; fall back to the
         # unadjusted result if the adjusted search fails
-        found_u, alpha_u, prox_u = search_alpha(ctx, pt, dirs, 3)
+        found_u, alpha_u, prox_u, _ = search_alpha(ctx, pt, dirs, 3)
         dirs["unadj_alpha"] = alpha_u
-        found_a, alpha_a, prox_a = search_alpha(ctx, pt, dirs, 5)
+        found_a, alpha_a, prox_a, _ = search_alpha(ctx, pt, dirs, 5)
         use_adj = found_u & found_a
         found = found_u
         alpha = jnp.where(use_adj, alpha_a, alpha_u)

@@ -44,3 +44,19 @@ def test_fused_iteration_limit():
     s.solve()
     assert s.get_status() == "IterationLimit"
     assert s.get_num_iters() == 2
+
+
+def test_shift_sched_warm_start():
+    """Alpha-schedule warm start (`combined.jl:173-176`): shift_sched > 0
+    searches a window starting near the previous accepted alpha, with a
+    full-schedule fallback; the solve must still reach the same optimum."""
+    base = Solver(fused=True)
+    base.load(_model())
+    base.solve()
+    for fused in (True, False):
+        s = Solver(fused=fused, shift_sched=3)
+        s.load(_model())
+        s.solve()
+        assert s.get_status() == "Optimal"
+        assert abs(s.get_primal_obj() - base.get_primal_obj()) < 1e-7 * (
+            1 + abs(base.get_primal_obj()))
