@@ -133,7 +133,9 @@ def _interp_box_core(n, d, calc_V, get_quadr, rng):
         P0sub = P0[:, :get_L(1, d - 1)]
         w = _clenshaw_curtis_weights(U) if get_quadr else np.zeros(0)
         return U, pts, P0, P0sub, V, w
-    # n >= 2: approximate Fekete from a tensor Chebyshev candidate grid
+    if n == 2:
+        return _padua_data(d, calc_V, get_quadr)
+    # n > 2: approximate Fekete from a tensor Chebyshev candidate grid
     npts = int(np.prod([2 * d + 1 + j for j in range(1, n + 1)]))
     cand_pts = np.zeros((npts, n))
     for j in range(1, n + 1):
@@ -151,6 +153,68 @@ def _interp_box_core(n, d, calc_V, get_quadr, rng):
     dom = BoxDomain(-np.ones(n), np.ones(n))
     pts, P0, P0sub, V, w = make_wsos_arrays(dom, cand_pts, d, get_quadr)
     return pts.shape[0], pts, P0, P0sub, V, w
+
+
+def _padua_data(d, calc_V, get_quadr):
+    """Padua points for bivariate degree-2d interpolation with their
+    cubature weights (`realinterp.jl:208-275`): the unique explicit
+    unisolvent point family on the square with minimal growth of the
+    Lebesgue constant; exact quadrature rule on the Chebyshev subgrids."""
+    U = get_U(2, d)
+    L = get_L(2, d)
+    cheba = cheb2_pts(2 * d + 1)
+    chebb = cheb2_pts(2 * d + 2)
+    pts = np.zeros((U, 2))
+    j = 0
+    for a in range(2 * d + 1):
+        for b in range(2 * d + 2):
+            if (a + b) % 2 == 0:
+                pts[j, 0] = -cheba[a]
+                pts[U - 1 - j, 1] = -chebb[2 * d + 1 - b]
+                j += 1
+
+    if calc_V:
+        V = make_chebyshev_vandermonde(pts, 2 * d)
+        P0 = V[:, :L]
+    else:
+        V = np.zeros((0, 0))
+        P0 = make_chebyshev_vandermonde(pts, d)
+    P0sub = P0[:, :get_L(2, d - 1)]
+
+    if get_quadr:
+        # even-degree Chebyshev evaluations on the two Chebyshev subgrids
+        ie = np.arange(0, 2 * d + 1, 2)
+        je1 = np.arange(0, 2 * d + 1, 2)
+        jo1 = np.arange(1, 2 * d + 1, 2)
+        je2 = np.arange(0, 2 * d + 2, 2)
+        jo2 = np.arange(1, 2 * d + 2, 2)
+        te1 = np.cos(np.pi * np.outer(ie, je1) / (2 * d))
+        to1 = np.cos(np.pi * np.outer(ie, jo1) / (2 * d))
+        te2 = np.cos(np.pi * np.outer(ie, je2) / (2 * d + 1))
+        to2 = np.cos(np.pi * np.outer(ie, jo2) / (2 * d + 1))
+        rt2 = np.sqrt(2.0)
+        for M in (te1, to1, te2, to2):
+            M[1:d + 1, :] *= rt2
+        # even-even Chebyshev moments matrix
+        mom = 2 * rt2 / (1.0 - np.arange(0, 2 * d + 1, 2) ** 2)
+        mom[0] = 2.0
+        Mmom = np.zeros((d + 1, d + 1))
+        f = 1.0 / (d * (2 * d + 1))
+        for jj in range(d + 1):
+            for ii in range(d + 1 - jj):
+                Mmom[ii, jj] = mom[ii] * mom[jj] * f
+        Mmom[0, d] /= 2
+        # cubature weights as matrices on the subgrids
+        W = np.zeros((d + 1, 2 * d + 1))
+        W[:, 0::2] = to2.T @ Mmom @ te1
+        W[:, 1::2] = te2.T @ Mmom @ to1
+        W[:, [0, 2 * d]] /= 2
+        W[0, 1::2] /= 2
+        W[d, 0::2] /= 2
+        w = W.flatten(order="F")
+    else:
+        w = np.zeros(0)
+    return U, pts, P0, P0sub, V, w
 
 
 def _clenshaw_curtis_weights(U):

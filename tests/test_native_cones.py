@@ -158,3 +158,21 @@ def test_wsos_univariate():
     G = np.ones((U, 1))
     build_solve_check([-1.0], np.zeros((0, 1)), np.zeros(0), G, fvals,
                       [cones.WSOSInterpNonnegative(U, Ps)], expect_obj=-1.0)
+
+
+def test_padua_points_quadrature():
+    """Padua n=2 box rule (`realinterp.jl:208-275`): unisolvent points and
+    cubature exact for all monomials of degree <= 2d on [-1,1]^2."""
+    import numpy as np
+    from hypatia_tpu.polyutils.interp import _padua_data, get_U
+
+    for d in (1, 3):
+        U, pts, P0, P0sub, V, w = _padua_data(d, calc_V=True, get_quadr=True)
+        assert U == get_U(2, d)
+        assert np.linalg.cond(V) < 10.0  # unisolvent, well-conditioned
+        for i in range(2 * d + 1):
+            for j in range(2 * d + 1 - i):
+                approx = float(np.sum(w * pts[:, 0] ** i * pts[:, 1] ** j))
+                exact = ((1 - (-1) ** (i + 1)) / (i + 1)) * (
+                    (1 - (-1) ** (j + 1)) / (j + 1))
+                assert abs(approx - exact) < 1e-12
