@@ -62,7 +62,8 @@ def measure_cpu_baseline(timeout=900):
         return {"error": f"{type(e).__name__}: {e}", "iters_per_s": 15.0}
 
 
-def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10):
+def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10,
+               profile=False):
     from hypatia_tpu import Solver
 
     model = mod.build(**params)
@@ -81,7 +82,7 @@ def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10):
     t0 = time.time()
     solver.solve()
     wall = time.time() - t0
-    return {
+    out = {
         "status": solver.get_status(),
         "iters": solver.get_num_iters(),
         "obj": solver.get_primal_obj(),
@@ -90,6 +91,15 @@ def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10):
         "iters_per_s": round(solver.get_num_iters()
                              / max(solver.timers.get("step", wall), 1e-9), 2),
     }
+    if profile:
+        # reference-parity per-phase timers (upsys/upfact/uprhs/getdir/
+        # search, `Solvers.jl:87-96`); kkt_ms = factor+solve per iteration
+        from hypatia_tpu.solvers.profile import profile_phases
+        try:
+            out["phases"] = profile_phases(solver)
+        except Exception as e:  # noqa: BLE001
+            out["phases"] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def main():
@@ -112,9 +122,6 @@ def main():
         ("polymin", examples.polymin, dict(poly="univariate_quartic")),
         ("relentr", examples.relentrentanglement, dict(na=2, nb=2)),
     ]
-    # the quantum RE config runs at extra tolerance relaxation on TPU (its
-    # eigh-based oracles lose a little more accuracy than on CPU)
-    relentr_relax = 100
     if os.environ.get("BENCH_FAST"):
         configs = configs[:1]
 
@@ -141,9 +148,14 @@ def main():
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
-            per_config[name] = run_config(
-                mod, params,
-                tol_relax=(relentr_relax if name == "relentr" else 10))
+            prof = name in ("linearopt", "doptimaldesign")
+            res = run_config(mod, params, tol_relax=10, profile=prof)
+            res["tol_relax"] = 10
+            if name == "relentr" and res["status"] != "Optimal":
+                # quantum RE retry at extra relaxation (TPU eigh accuracy)
+                res = run_config(mod, params, tol_relax=100)
+                res["tol_relax"] = 100
+            per_config[name] = res
         except Exception as e:  # keep the bench robust
             per_config[name] = {"status": f"ERROR: {type(e).__name__}: {e}"}
         print(f"[bench] {name} done in {time.time()-t0:.1f}s: "

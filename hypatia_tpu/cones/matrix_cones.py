@@ -176,12 +176,15 @@ class PosSemidefTri(_MatrixMixin, Cone):
         return self._per_col(arr, one)
 
     def inv_sqrt_hess_prod(self, s, arr, aux=None):
+        # Ubar[A] = L' A L gives Ubar' Ubar [A] = (LL')A(LL') = W A W =
+        # H^-1[A] — the Gram convention the syrk Schur assembly needs
+        # (L A L' would round-trip sqrt_hess_prod but has the wrong Gram)
         aux = self._get_aux(s, aux)
         L = aux["L"]
 
         def one(col):
             A = self._smat(col)
-            Y = L @ A @ L.conj().T
+            Y = L.conj().T @ A @ L
             return self._svec((Y + Y.conj().T) / 2)
 
         return self._per_col(arr, one)
@@ -537,7 +540,7 @@ class _SpectralMixin:
     def _wvec(self, W):
         if self.is_complex:
             flat = W.T
-            out = jnp.zeros(self.w_len, dtype=jnp.float64)
+            out = jnp.zeros(self.w_len, dtype=jnp.real(W).dtype)
             out = out.at[0::2].set(jnp.real(flat).reshape(-1))
             out = out.at[1::2].set(jnp.imag(flat).reshape(-1))
             return out

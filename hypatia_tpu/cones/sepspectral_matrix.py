@@ -30,7 +30,7 @@ from hypatia_tpu.ops.svec import (
 
 
 def _eps(x):
-    return jnp.finfo(jnp.float64).eps
+    return jnp.finfo(jnp.real(x).dtype).eps
 
 
 class EpiPerSepSpectralMatrix(Cone):
@@ -143,11 +143,11 @@ class EpiPerSepSpectralMatrix(Cone):
         a = 1.0 / zeta
         b_v = -sigma / zeta
         # b_w in rotated svec coords: diagonal entries -h1/zeta
-        b_w_rot = jnp.zeros(n, dtype=jnp.float64)
+        b_w_rot = jnp.zeros(n, dtype=lam.dtype)
         b_w_rot = b_w_rot.at[self._diag_idxs()].set(-h1 / zeta)
 
         mvv = 1.0 / v**2 + jnp.sum(lam**2 * h2) / (v * zeta)
-        mvw_rot = jnp.zeros(n, dtype=jnp.float64)
+        mvw_rot = jnp.zeros(n, dtype=lam.dtype)
         mvw_rot = mvw_rot.at[self._diag_idxs()].set(-lam * h2 / (v * zeta))
         DW_pattern = (1.0 / jnp.outer(lamw, lamw)
                       + d1h1 / (v * zeta))
@@ -172,7 +172,7 @@ class EpiPerSepSpectralMatrix(Cone):
         g_u = -1.0 / zeta
         g_v = aux["sigma"] / zeta - 1.0 / v
         # grad_w diagonal in Q basis: h1/zeta - 1/lamw
-        gw_rot = jnp.zeros(self.w_len, dtype=jnp.float64)
+        gw_rot = jnp.zeros(self.w_len, dtype=zeta.dtype)
         gw_rot = gw_rot.at[self._diag_idxs()].set(
             aux["h1"] / zeta - 1.0 / aux["lamw"])
         g_w = aux["R"].T @ gw_rot
@@ -196,7 +196,7 @@ class EpiPerSepSpectralMatrix(Cone):
         return out[:, 0] if one_d else out
 
     def hess(self, s, aux=None):
-        eye = jnp.eye(self.dim, dtype=jnp.float64)
+        eye = jnp.eye(self.dim, dtype=s.dtype)
         return self.hess_prod(s, eye, aux)
 
     def inv_hess_prod(self, s, arr, aux=None):
@@ -222,7 +222,7 @@ class EpiPerSepSpectralMatrix(Cone):
         return out[:, 0] if one_d else out
 
     def inv_hess(self, s, aux=None):
-        eye = jnp.eye(self.dim, dtype=jnp.float64)
+        eye = jnp.eye(self.dim, dtype=s.dtype)
         return self.inv_hess_prod(s, eye, aux)
 
     def dder3(self, s, d, aux=None):
@@ -259,7 +259,7 @@ class EpiPerSepSpectralMatrix(Cone):
         zeta_d = du - Dxi_d
         zeta_dd = -v * D2T_EE
         # grad zeta = (1, -sigma, -svec h'(X))
-        hX_svec_rot = jnp.zeros(self.w_len, dtype=jnp.float64)
+        hX_svec_rot = jnp.zeros(self.w_len, dtype=h1.dtype)
         hX_svec_rot = hX_svec_rot.at[self._diag_idxs()].set(h1)
         R = aux["R"]
         grad_zeta = jnp.concatenate([

@@ -102,7 +102,8 @@ class EpiPerSquare(Cone):
         return self._soc.sqrt_hess_prod(self._rot(s), self._rot(arr))
 
     def inv_sqrt_hess_prod(self, s, arr, aux=None):
-        return self._rot(self._soc.inv_sqrt_hess_prod(self._rot(s), arr))
+        # Ubar = U_soc(Ts)^-T T satisfies Ubar'Ubar = T H_soc^-1 T = H^-1
+        return self._soc.inv_sqrt_hess_prod(self._rot(s), self._rot(arr))
 
     def dder3(self, s, d, aux=None):
         return self._rot(self._soc.dder3(self._rot(s), self._rot(d)))

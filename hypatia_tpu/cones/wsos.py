@@ -100,7 +100,8 @@ class WSOSInterpNonnegative(Cone):
     def hess(self, s, aux=None):
         if aux is None:
             aux = self.point_aux(s)
-        H = jnp.zeros((self.dim, self.dim), dtype=jnp.float64)
+        H = jnp.zeros((self.dim, self.dim),
+                      dtype=jnp.real(aux["LFPs"][0]).dtype)
         for LFP in aux["LFPs"]:
             M = LFP.conj().T @ LFP  # (U, U)
             H = H + jnp.real(M * jnp.conj(M))
@@ -125,7 +126,7 @@ class WSOSInterpNonnegative(Cone):
         """-1/2 D^3(-logdet Lam(x))[d,d] = diag(M D_d M D_d M) with
         M = P Lam^-1 P' and D_d = Diag(d)."""
         aux = self._get_aux(s, aux)
-        out = jnp.zeros(self.dim, dtype=jnp.float64)
+        out = jnp.zeros(self.dim, dtype=s.dtype)
         for LFP in aux["LFPs"]:
             M = LFP.conj().T @ LFP       # (U, U) = P Lam^-1 P'
             MdM = (M * d[None, :]) @ M   # M D_d M
@@ -201,8 +202,8 @@ class WSOSInterpPosSemidefTri(Cone):
     def _lambda_big(self, s, P):
         U, R = self.U, self.R
         L = P.shape[1]
-        irt2 = 1.0 / jnp.sqrt(jnp.asarray(2.0, dtype=jnp.float64))
-        lam = jnp.zeros((L * R, L * R), dtype=jnp.float64)
+        irt2 = 1.0 / jnp.sqrt(jnp.asarray(2.0, dtype=s.dtype))
+        lam = jnp.zeros((L * R, L * R), dtype=s.dtype)
         block = 0
         for j in range(self.R):
             for i in range(j + 1):
@@ -266,7 +267,7 @@ class WSOSInterpPosSemidefTri(Cone):
             Lc = jnp.linalg.cholesky(lam)
             ok = ok & jnp.all(jnp.isfinite(Lc))
             Lcs.append(Lc)
-            eye = jnp.eye(lam.shape[0], dtype=jnp.float64)
+            eye = jnp.eye(lam.shape[0], dtype=lam.dtype)
             Li = linalg.solve_tri(
                 jnp.where(jnp.isfinite(Lc), Lc, eye), eye, lower=True)
             S = Li.T @ Li
@@ -292,7 +293,7 @@ class WSOSInterpPosSemidefTri(Cone):
         aux = self._get_aux(s, aux)
         U = self.U
         blocks, scales = self._blocks(), self._scales()
-        g = jnp.zeros(self.dim, dtype=jnp.float64)
+        g = jnp.zeros(self.dim, dtype=s.dtype)
         for Qt in aux["Qts"]:
             parts = []
             for (i, j), a in zip(blocks, scales):
@@ -307,7 +308,8 @@ class WSOSInterpPosSemidefTri(Cone):
         U = self.U
         blocks, scales = self._blocks(), self._scales()
         nb = len(blocks)
-        H = jnp.zeros((self.dim, self.dim), dtype=jnp.float64)
+        dt = jnp.real(aux["Qts"][0]).dtype
+        H = jnp.zeros((self.dim, self.dim), dtype=dt)
         for Qt in aux["Qts"]:
             rows = []
             for (i, j), a1 in zip(blocks, scales):
@@ -339,7 +341,7 @@ class WSOSInterpPosSemidefTri(Cone):
         U = self.U
         L0 = self.Ps[0].shape[1]
         blocks, scales = self._blocks(), self._scales()
-        out = jnp.zeros(self.dim, dtype=jnp.float64)
+        out = jnp.zeros(self.dim, dtype=s.dtype)
         for P, S in zip(self.Ps, aux["Ss"]):
             Pj = jnp.asarray(P)
             L = Pj.shape[1]
@@ -410,7 +412,7 @@ class WSOSInterpEpiNormEucl(Cone):
             L11 = jnp.linalg.cholesky(lams[0])
             ok = ok & jnp.all(jnp.isfinite(L11))
             L11s = jnp.where(jnp.isfinite(L11), L11,
-                             jnp.eye(L11.shape[0], dtype=jnp.float64))
+                             jnp.eye(L11.shape[0], dtype=L11.dtype))
             schur = lams[0]
             for lam_r in lams[1:]:
                 X = linalg.cho_solve(L11s, lam_r)
@@ -437,7 +439,7 @@ class WSOSInterpEpiNormEucl(Cone):
         """Arrowhead matrix of the per-block Gram matrices (linear in s)."""
         L = vals[0].shape[0]
         R = self.R
-        Arr = jnp.zeros((R * L, R * L), dtype=jnp.float64)
+        Arr = jnp.zeros((R * L, R * L), dtype=vals[0].dtype)
         for r in range(R):
             Arr = Arr.at[r * L:(r + 1) * L, r * L:(r + 1) * L].set(vals[0])
         for r in range(1, R):
@@ -457,12 +459,12 @@ class WSOSInterpEpiNormEucl(Cone):
             lams = self._lams(s, Pj)
             Arr = self._arrow(lams)
             La = jnp.linalg.cholesky(Arr)
-            eye = jnp.eye(Arr.shape[0], dtype=jnp.float64)
+            eye = jnp.eye(Arr.shape[0], dtype=Arr.dtype)
             Las = jnp.where(jnp.isfinite(La), La, eye)
             Li = linalg.solve_tri(Las, eye, lower=True)
             S = Li.T @ Li
             L11 = jnp.linalg.cholesky(lams[0])
-            eye1 = jnp.eye(lams[0].shape[0], dtype=jnp.float64)
+            eye1 = jnp.eye(lams[0].shape[0], dtype=lams[0].dtype)
             L11s_ = jnp.where(jnp.isfinite(L11), L11, eye1)
             Li11 = linalg.solve_tri(L11s_, eye1, lower=True)
             S11 = Li11.T @ Li11
@@ -486,7 +488,7 @@ class WSOSInterpEpiNormEucl(Cone):
         aux = self._get_aux(s, aux)
         terms = self._terms()
         c = self.R - 2
-        g = jnp.zeros(self.dim, dtype=jnp.float64)
+        g = jnp.zeros(self.dim, dtype=s.dtype)
         for Qt, q11 in zip(aux["Qts"], aux["q11s"]):
             parts = [_ld_grad(Qt, t) for t in terms]
             parts[0] = parts[0] + c * jnp.diagonal(q11)
@@ -499,7 +501,8 @@ class WSOSInterpEpiNormEucl(Cone):
             return aux["hess"]
         terms = self._terms()
         c = self.R - 2
-        H = jnp.zeros((self.dim, self.dim), dtype=jnp.float64)
+        dt = jnp.real(aux["Qts"][0]).dtype
+        H = jnp.zeros((self.dim, self.dim), dtype=dt)
         for Qt, q11 in zip(aux["Qts"], aux["q11s"]):
             rows = []
             for ti, tx in enumerate(terms):
@@ -532,7 +535,7 @@ class WSOSInterpEpiNormEucl(Cone):
         terms = self._terms()
         c = self.R - 2
         U = self.U
-        out = jnp.zeros(self.dim, dtype=jnp.float64)
+        out = jnp.zeros(self.dim, dtype=s.dtype)
         for P, S, S11 in zip(self.Ps, aux["Ss"], aux["S11s"]):
             Pj = jnp.asarray(P)
             L = Pj.shape[1]
@@ -602,7 +605,7 @@ class WSOSInterpEpiNormOne(Cone):
             L11 = jnp.linalg.cholesky(lams[0])
             ok = ok & jnp.all(jnp.isfinite(L11))
             L11s = jnp.where(jnp.isfinite(L11), L11,
-                             jnp.eye(L11.shape[0], dtype=jnp.float64))
+                             jnp.eye(L11.shape[0], dtype=L11.dtype))
             for lam_r in lams[1:]:
                 X = linalg.cho_solve(L11s, lam_r)
                 schur = lams[0] - lam_r @ X
@@ -622,7 +625,7 @@ class WSOSInterpEpiNormOne(Cone):
 
     def _arrow2(self, lam0, lamr):
         L = lam0.shape[0]
-        Arr = jnp.zeros((2 * L, 2 * L), dtype=jnp.float64)
+        Arr = jnp.zeros((2 * L, 2 * L), dtype=lam0.dtype)
         Arr = Arr.at[:L, :L].set(lam0)
         Arr = Arr.at[L:, L:].set(lam0)
         Arr = Arr.at[:L, L:].set(lamr)
@@ -639,8 +642,8 @@ class WSOSInterpEpiNormOne(Cone):
         for P in self.Ps:
             Pj = jnp.asarray(P)
             lams = self._lams(s, Pj)
-            eye2 = jnp.eye(2 * lams[0].shape[0], dtype=jnp.float64)
-            eye1 = jnp.eye(lams[0].shape[0], dtype=jnp.float64)
+            eye2 = jnp.eye(2 * lams[0].shape[0], dtype=lams[0].dtype)
+            eye1 = jnp.eye(lams[0].shape[0], dtype=lams[0].dtype)
             Sr_k, Qt_k = [], []
             for lam_r in lams[1:]:
                 Arr = self._arrow2(lams[0], lam_r)
@@ -673,7 +676,7 @@ class WSOSInterpEpiNormOne(Cone):
     def grad(self, s, aux=None):
         aux = self._get_aux(s, aux)
         c = self.R - 2
-        g = jnp.zeros(self.dim, dtype=jnp.float64)
+        g = jnp.zeros(self.dim, dtype=s.dtype)
         for Qt_k, q11 in zip(aux["Qtrs"], aux["q11s"]):
             g0 = c * jnp.diagonal(q11)
             parts = []
@@ -689,9 +692,10 @@ class WSOSInterpEpiNormOne(Cone):
             return aux["hess"]
         U = self.U
         c = self.R - 2
-        H = jnp.zeros((self.dim, self.dim), dtype=jnp.float64)
+        dt = jnp.real(aux["Qtrs"][0][0]).dtype
+        H = jnp.zeros((self.dim, self.dim), dtype=dt)
         for Qt_k, q11 in zip(aux["Qtrs"], aux["q11s"]):
-            Hk = jnp.zeros((self.dim, self.dim), dtype=jnp.float64)
+            Hk = jnp.zeros((self.dim, self.dim), dtype=dt)
             H00 = -c * q11 * q11
             for ri, Qt in enumerate(Qt_k):
                 H00 = H00 + _ld_hess_block(Qt, self._DIAG_TERMS,
@@ -723,7 +727,7 @@ class WSOSInterpEpiNormOne(Cone):
     def dder3(self, s, d, aux=None):
         aux = self._get_aux(s, aux)
         c = self.R - 2
-        out = jnp.zeros(self.dim, dtype=jnp.float64)
+        out = jnp.zeros(self.dim, dtype=s.dtype)
         for P, Sr_k, S11 in zip(self.Ps, aux["Srs"], aux["S11s"]):
             Pj = jnp.asarray(P)
             L = Pj.shape[1]

@@ -298,7 +298,7 @@ def svec_rotation(Q, svec_fn, smat_fn, n):
 
     R is (n, n) for svec length n; cost O(n d^3) — done once per point.
     """
-    eye = jnp.eye(n, dtype=jnp.float64)
+    eye = jnp.eye(n, dtype=jnp.real(Q).dtype)
 
     def col(e):
         B = smat_fn(e)

@@ -135,6 +135,7 @@ class Solver:
         min_prox=0.01,
         shift_sched=0,
         max_ref_steps=5,
+        schur_syrk=True,
         fused=None,
         dtype=np.float64,
         mesh=None,
@@ -170,6 +171,7 @@ class Solver:
             prox_bound=prox_bound,
             min_prox=min_prox,
             shift_sched=shift_sched,
+            schur_syrk=schur_syrk,
         )
         self.max_ref_steps = max_ref_steps
         self.fused = fused

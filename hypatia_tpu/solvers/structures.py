@@ -44,6 +44,9 @@ class StepContext:
     use_max_prox: bool = True
     alpha_sched: Tuple[float, ...] = DEFAULT_ALPHA_SCHED
     max_ref_steps: int = 5
+    #: assemble sqrt-oracle cones' Schur rows in syrk form (U GQ2)'(U GQ2)
+    #: — reference default when sqrt oracles exist (`qrchol.jl:219-237`)
+    schur_syrk: bool = True
     #: mesh axis name for row-sharding the cone (q) axis of the Schur
     #: assembly in update_lhs (None = unsharded); mesh_key makes distinct
     #: meshes distinct jit cache entries
@@ -57,8 +60,8 @@ class StepContext:
             self.stepper, self.use_adjustment, self.use_curve_search,
             self.max_cent_steps, self.pred_prox_bound, self.shift_sched,
             self.min_prox, self.prox_bound, self.use_max_prox,
-            self.alpha_sched, self.max_ref_steps, self.shard_axis,
-            self.mesh_key,
+            self.alpha_sched, self.max_ref_steps, self.schur_syrk,
+            self.shard_axis, self.mesh_key,
         )
 
     def __hash__(self):
@@ -175,6 +178,18 @@ def block_hess_prod(ctx, iter_aux, k, arr):
     if cone.use_dual:
         return cone.inv_hess_prod(s_scal, arr, aux)
     return cone.hess_prod(s_scal, arr, aux)
+
+
+def block_sqrt_hess_prod(ctx, iter_aux, k, arr):
+    """Ū_k @ arr with H̄_k = Ū_k' Ū_k: sqrt-Hessian for primal-barrier
+    cones, inverse-sqrt for dual-barrier cones (`qrchol.jl:219-237` uses
+    these for the syrk-form Schur assembly)."""
+    cone = ctx.cones[k]
+    s_scal = iter_aux["s_scals"][k]
+    aux = iter_aux["auxes"][k]
+    if cone.use_dual:
+        return cone.inv_sqrt_hess_prod(s_scal, arr, aux)
+    return cone.sqrt_hess_prod(s_scal, arr, aux)
 
 
 def blockwise(ctx, iter_aux, vec, fn):

@@ -34,6 +34,7 @@ from hypatia_tpu.ops import linalg
 from hypatia_tpu.solvers import shard
 from hypatia_tpu.solvers.structures import (
     block_hess_prod,
+    block_sqrt_hess_prod,
     blockwise,
     cone_view,
     point_vec,
@@ -89,12 +90,36 @@ def update_lhs(ctx, data, iter_aux):
     sys = {}
     if ctx.syssolver == "qrchol":
         GQ2 = data["GQ2"]
-        # Schur complement: sum_k GQ2_k' Hbar_k GQ2_k  (`qrchol.jl:219-246`)
-        HGQ2 = jnp.zeros_like(GQ2)
-        for k in range(len(ctx.cones)):
+        # Schur complement: sum_k GQ2_k' Hbar_k GQ2_k  (`qrchol.jl:219-246`).
+        # Cones with sqrt oracles contribute in syrk form (U_k GQ2_k)'
+        # (U_k GQ2_k) — PSD by construction and better-conditioned, the
+        # reference's default when sqrt oracles exist (`qrchol.jl:219-237`);
+        # the rest contribute via the gemm form GQ2_k' (H_k GQ2_k). Rows not
+        # owned by a form are zero, so each form is one full-width matmul.
+        sqrt_ks = [k for k, c in enumerate(ctx.cones)
+                   if ctx.schur_syrk and c.has_sqrt_oracles]
+        gemm_ks = [k for k in range(len(ctx.cones)) if k not in sqrt_ks]
+        UGQ2 = jnp.zeros_like(GQ2) if sqrt_ks else None
+        for k in sqrt_ks:
+            start, dim = ctx.cone_idxs[k]
+            Uk = block_sqrt_hess_prod(ctx, iter_aux, k,
+                                      GQ2[start:start + dim, :])
+            UGQ2 = UGQ2.at[start:start + dim, :].set(Uk)
+        HGQ2 = jnp.zeros_like(GQ2) if gemm_ks else None
+        for k in gemm_ks:
             start, dim = ctx.cone_idxs[k]
             Hk = block_hess_prod(ctx, iter_aux, k, GQ2[start:start + dim, :])
             HGQ2 = HGQ2.at[start:start + dim, :].set(Hk)
+
+        def accumulate(GQ2, UGQ2, HGQ2):
+            lhs = 0.0
+            if UGQ2 is not None:
+                lhs = UGQ2.T @ UGQ2
+            if HGQ2 is not None:
+                gl = GQ2.T @ HGQ2
+                lhs = lhs + (gl + gl.T) / 2
+            return lhs
+
         if ctx.shard_axis is not None:
             # row-shard the cone axis (zero-padded to the device count):
             # each device syrks its local block rows, XLA all-reduces
@@ -102,15 +127,17 @@ def update_lhs(ctx, data, iter_aux):
             # factorization below is replicated
             ndev = len(ctx.mesh_key[1])
             pad = (-GQ2.shape[0]) % ndev
-            GQ2p = jnp.pad(GQ2, ((0, pad), (0, 0)))
-            HGQ2p = jnp.pad(HGQ2, ((0, pad), (0, 0)))
-            GQ2p = shard.constrain(GQ2p, ctx.shard_axis, None)
-            HGQ2p = shard.constrain(HGQ2p, ctx.shard_axis, None)
-            lhs = GQ2p.T @ HGQ2p
+
+            def padc(M):
+                if M is None:
+                    return None
+                Mp = jnp.pad(M, ((0, pad), (0, 0)))
+                return shard.constrain(Mp, ctx.shard_axis, None)
+
+            lhs = accumulate(padc(GQ2), padc(UGQ2), padc(HGQ2))
             lhs = shard.constrain(lhs, None, None)
         else:
-            lhs = GQ2.T @ HGQ2
-        lhs = (lhs + lhs.T) / 2
+            lhs = accumulate(GQ2, UGQ2, HGQ2)
         L, ok = linalg.cholesky_shifted(lhs)
         sys["schur_chol"] = L
         sys["schur_inv"] = linalg.chol_inverse(L)

@@ -165,7 +165,10 @@ def test_dder3_identities(cone):
 @pytest.mark.parametrize(
     "cone", [c for c in oracle_cones() if c.has_sqrt_oracles], ids=repr)
 def test_sqrt_oracles(cone):
-    """U'U = H and U^-1 consistency (`cone.jl:97-102`)."""
+    """Gram convention: U'U = H and Ubar'Ubar = H^-1 — what the syrk-form
+    Schur assembly consumes (`qrchol.jl:219-237`, `Cones.jl:189-206`).
+    (inv_sqrt is NOT required to invert sqrt as a map; that round-trip
+    only holds when the factor is symmetric.)"""
     rng = np.random.default_rng(4)
     s = perturbed_point(cone, rng)
     aux = cone.point_aux(s)
@@ -174,9 +177,9 @@ def test_sqrt_oracles(cone):
     H = cone.hess(s, aux)
     np.testing.assert_allclose(np.asarray(U.T @ U), np.asarray(H),
                                rtol=1e-8, atol=1e-8)
-    M = jnp.asarray(rng.standard_normal((cone.dim, 3)))
-    out = cone.inv_sqrt_hess_prod(s, cone.sqrt_hess_prod(s, M, aux), aux)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(M),
+    Ubar = cone.inv_sqrt_hess_prod(s, eye, aux)
+    Hi = cone.inv_hess(s, aux)
+    np.testing.assert_allclose(np.asarray(Ubar.T @ Ubar), np.asarray(Hi),
                                rtol=1e-8, atol=1e-8)
 
 

@@ -93,3 +93,32 @@ def _solve_f64(model):
     s.load(model)
     s.solve()
     return s.get_primal_obj()
+
+
+def test_f32_wsos():
+    # univariate quartic polymin in f32 (WSOSInterpNonnegative oracles)
+    import examples
+
+    model = examples.polymin.build(poly="univariate_quartic")
+    s = _solve(model, relax=1)
+    assert s.get_status() == "Optimal"
+    assert abs(s.get_primal_obj() - 1.0) < 1e-2
+
+
+def test_f32_sepspectral_matrix():
+    # min u s.t. v=1, W=W0 with h=-log -> u* = -logdet(W0)
+    import jax.numpy as jnp
+    from hypatia_tpu.ops.svec import smat_to_svec
+
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((2, 2))
+    W0 = M @ M.T + 0.5 * np.eye(2)
+    opt = -float(np.linalg.slogdet(W0)[1])
+    G = np.zeros((5, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0, 1.0], np.asarray(smat_to_svec(jnp.asarray(W0)))])
+    model = Model([1.0], np.zeros((0, 1)), np.zeros(0), G, h,
+                  [cones.EpiPerSepSpectralMatrix(cones.NegLogSSF(), 2)])
+    s = _solve(model, relax=3)
+    assert s.get_status() == "Optimal"
+    assert abs(s.get_primal_obj() - opt) < 1e-2 * (1 + abs(opt))
