@@ -16,6 +16,19 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from hypatia_tpu.ops import blocked
+
+
+def _use_blocked():
+    """Use the matmul-only blocked factorizations on accelerator backends.
+
+    XLA's native cholesky/triangular_solve are sequential latency-bound
+    kernels on TPU and serialize over vmap batch axes; the blocked
+    implementations (ops/blocked.py) vectorize over batch and fuse. On CPU
+    the LAPACK kernels win, so keep them there.
+    """
+    return jax.default_backend() != "cpu"
+
 
 def solve_tri(L, B, lower=True, trans=False):
     """Triangular solve wrapper (unit_diagonal=False).
@@ -75,7 +88,11 @@ def cholesky_shifted(A, num_tries: int = None):
     d = A.shape[-1]
     if d == 0:  # zero-variable models (e.g. pure feasibility problems)
         return A, jnp.asarray(True)
-    L0 = jnp.linalg.cholesky(A)
+    # blocked impl is real-only (no Hermitian-aware base case)
+    chol = (blocked.blocked_cholesky
+            if _use_blocked() and not jnp.iscomplexobj(A)
+            else jnp.linalg.cholesky)
+    L0 = chol(A)
     ok0 = chol_ok(L0)
     if num_tries <= 1:
         return L0, ok0
@@ -88,7 +105,7 @@ def cholesky_shifted(A, num_tries: int = None):
         def try_shift(carry, i):
             L, ok = carry
             shift = diag_max * eps * (100.0 ** i.astype(A.dtype))
-            Ls = jnp.linalg.cholesky(A + shift * jnp.eye(d, dtype=A.dtype))
+            Ls = chol(A + shift * jnp.eye(d, dtype=A.dtype))
             oks = chol_ok(Ls)
             take = (~ok) & oks
             L = jnp.where(take, Ls, L)
@@ -119,8 +136,11 @@ def chol_inverse(L):
     refinement in the direction solver absorbs the small accuracy loss of
     the explicit-inverse form).
     """
-    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
-    Li = solve_tri(L, eye, lower=True)
+    if _use_blocked() and not jnp.iscomplexobj(L):
+        Li = blocked.blocked_tri_inverse(L)
+    else:
+        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+        Li = solve_tri(L, eye, lower=True)
     return Li.conj().T @ Li
 
 

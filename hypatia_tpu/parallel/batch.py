@@ -76,6 +76,9 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
                 GQ2s.append(GQ[:, m0.p:])
             data_b["Ap_Q"] = jnp.asarray(np.stack(Qs))
             data_b["Ap_R"] = jnp.asarray(np.stack(Rs))
+            data_b["Ap_Rinv"] = jnp.asarray(np.stack([
+                scipy.linalg.solve_triangular(
+                    R, np.eye(R.shape[0]), lower=False) for R in Rs]))
             data_b["GQ1"] = jnp.asarray(np.stack(GQ1s))
             data_b["GQ2"] = jnp.asarray(np.stack(GQ2s))
         else:

@@ -332,6 +332,15 @@ class Solver:
                 GQ = model.G @ pre.Ap_Q
                 data["Ap_Q"] = jnp.asarray(pre.Ap_Q, dt)
                 data["Ap_R"] = jnp.asarray(pre.Ap_R, dt)
+                # explicit R^-1 (host, once per load): turns the two
+                # per-direction-solve triangular solves into MXU matmuls —
+                # on TPU triangular solves are latency-bound sequential
+                # kernels and serialize under vmap
+                import scipy.linalg as _sla
+                data["Ap_Rinv"] = jnp.asarray(
+                    _sla.solve_triangular(
+                        np.asarray(pre.Ap_R, dtype=np.float64),
+                        np.eye(pre.Ap_R.shape[0]), lower=False), dt)
                 data["GQ1"] = jnp.asarray(GQ[:, :model.p], dt)
                 data["GQ2"] = jnp.asarray(GQ[:, model.p:], dt)
             else:

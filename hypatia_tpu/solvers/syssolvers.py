@@ -330,7 +330,7 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
     if p > 0:
         Qb = data["Ap_Q"].T @ Qb
         # y block: R'^-1 ry goes into the first p coords of the Q-basis x
-        yq = linalg.solve_tri(data["Ap_R"].T, ry, lower=True)
+        yq = data["Ap_Rinv"].T @ ry
         GQ1y = data["GQ1"] @ yq
         HGQ1y = blockwise(
             ctx, iter_aux, GQ1y,
@@ -349,8 +349,7 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
                     lambda k, v: block_hess_prod(ctx, iter_aux, k, v))
     z = HGx - rz
     if p > 0:
-        y = linalg.solve_tri(data["Ap_R"], Qb[:p] - data["GQ1"].T @ HGx,
-                             lower=False)
+        y = data["Ap_Rinv"] @ (Qb[:p] - data["GQ1"].T @ HGx)
     else:
         y = jnp.zeros(0, dtype=ctx.dtype)
     return x, y, z
