@@ -85,7 +85,8 @@ def rescale_data(model, pre):
     return True
 
 
-def find_initial_x(model, pre, init_s, preprocess, init_tol_qr, verbose=False):
+def find_initial_x(model, pre, init_s, preprocess, init_tol_qr, verbose=False,
+                   use_indirect=False):
     """Initial x = lsq solution of [A; G] x = [b; h - s]; optionally drop
     dependent dual equalities (`process.jl:64-178`)."""
     n = model.n
@@ -95,6 +96,24 @@ def find_initial_x(model, pre, init_s, preprocess, init_tol_qr, verbose=False):
         return
     pre.x_keep_idxs = np.arange(n)
     rhs = np.concatenate([model.b, model.h - init_s])
+
+    if use_indirect:
+        # device LSQR on matvecs with [A; G]: no host QR of the stacked
+        # matrix, the setup bottleneck for large models
+        # (`process.jl:86-95` init_use_indirect)
+        import jax.numpy as jnp
+
+        from hypatia_tpu.ops.lsqr import lsqr
+
+        A_d, G_d = jnp.asarray(model.A), jnp.asarray(model.G)
+        p = model.p
+        mv = (lambda v: jnp.concatenate([A_d @ v, G_d @ v])) if p \
+            else (lambda v: G_d @ v)
+        rmv = (lambda u: A_d.T @ u[:p] + G_d.T @ u[p:]) if p \
+            else (lambda u: G_d.T @ u)
+        pre.init_x = np.asarray(lsqr((mv, rmv, n), jnp.asarray(rhs)))
+        return
+
     AG = np.vstack([model.A, model.G]) if model.p else model.G.copy()
 
     Q, R, piv = scipy.linalg.qr(AG, mode="full", pivoting=True)
@@ -137,7 +156,7 @@ def find_initial_x(model, pre, init_s, preprocess, init_tol_qr, verbose=False):
 
 
 def find_initial_y(model, pre, init_z, reduce, preprocess, init_tol_qr,
-                   verbose=False):
+                   verbose=False, use_indirect=False):
     """Initial y = lsq solution of A'y = -c - G'z; optionally drop dependent
     primal equalities or `reduce` them away entirely (`process.jl:182-365`)."""
     p = model.p
@@ -148,6 +167,17 @@ def find_initial_y(model, pre, init_z, reduce, preprocess, init_tol_qr,
         pre.init_y = np.zeros(0, dtype=model.dtype)
         return
     n = model.n
+
+    if use_indirect and not reduce and not preprocess:
+        # device LSQR on A' (`process.jl:209-211` init_use_indirect)
+        import jax.numpy as jnp
+
+        from hypatia_tpu.ops.lsqr import lsqr
+
+        rhs = -model.c - model.G.T @ init_z
+        pre.init_y = np.asarray(
+            lsqr(jnp.asarray(model.A.T), jnp.asarray(rhs)))
+        return
 
     Ap = model.A.T.copy()
     Q, R, piv = scipy.linalg.qr(Ap, mode="full", pivoting=True)

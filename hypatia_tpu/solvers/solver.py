@@ -124,6 +124,7 @@ class Solver:
         reduce=True,
         rescale=True,
         init_tol_qr=None,
+        init_use_indirect=False,
         stepper="combined",
         syssolver="qrchol",
         use_adjustment=True,
@@ -160,6 +161,13 @@ class Solver:
         self.rescale = rescale
         self.init_tol_qr = (init_tol_qr if init_tol_qr is not None
                             else 1000 * dtype_eps(self.dtype))
+        # indirect (LSQR) initial point: skips host QR of [A; G]
+        # (`Solvers.jl` option init_use_indirect); requires
+        # preprocess=False / reduce=False like the reference
+        self.init_use_indirect = init_use_indirect
+        if init_use_indirect:
+            assert not preprocess and not reduce, \
+                "init_use_indirect requires preprocess=False, reduce=False"
         self.stepper = stepper
         self.syssolver = syssolver
         self.stepper_opts = dict(
@@ -286,13 +294,15 @@ class Solver:
         else:
             t0 = time.time()
             process.find_initial_x(model, pre, init_s, self.preprocess,
-                                   self.init_tol_qr, self.verbose)
+                                   self.init_tol_qr, self.verbose,
+                                   use_indirect=self.init_use_indirect)
             timers["initx"] = time.time() - t0
             t0 = time.time()
             if pre.status is None:
                 process.find_initial_y(model, pre, init_z, False,
                                        self.preprocess, self.init_tol_qr,
-                                       self.verbose)
+                                       self.verbose,
+                                       use_indirect=self.init_use_indirect)
             timers["inity"] = time.time() - t0
 
         if pre.status is not None:

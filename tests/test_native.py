@@ -149,3 +149,25 @@ def test_inconsistent_equalities():
     solver.load(model)
     solver.solve()
     assert solver.get_status() == "PrimalInconsistent"
+
+
+def test_init_use_indirect():
+    """LSQR initial point (`process.jl:86-95,209-211` init_use_indirect):
+    same solution as the QR path, no host QR of [A; G]."""
+    rng = np.random.default_rng(11)
+    A = 10 * rng.random((6, 15))
+    b = A.sum(1)
+    c = rng.random(15)
+    model = Model(c, A, b, -np.eye(15), np.zeros(15),
+                  [cones.Nonnegative(15)])
+    s = Solver(preprocess=False, reduce=False, init_use_indirect=True,
+               syssolver="symindef", fused=True)
+    s.load(model)
+    s.solve()
+    assert s.get_status() == "Optimal"
+    s2 = Solver(fused=True)
+    s2.load(Model(c, A, b, -np.eye(15), np.zeros(15),
+                  [cones.Nonnegative(15)]))
+    s2.solve()
+    assert abs(s.get_primal_obj() - s2.get_primal_obj()) < 1e-6 * (
+        1 + abs(s2.get_primal_obj()))
