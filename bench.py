@@ -148,7 +148,10 @@ def main():
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
-            prof = name in ("linearopt", "doptimaldesign")
+            # phase profiling compiles ~20 extra program shapes (minutes
+            # of remote-compile wall on the tunneled TPU) — opt-in only
+            prof = (os.environ.get("BENCH_PROFILE", "")
+                    and name in ("linearopt", "doptimaldesign"))
             res = run_config(mod, params, tol_relax=10, profile=prof)
             res["tol_relax"] = 10
             if name == "relentr" and res["status"] != "Optimal":

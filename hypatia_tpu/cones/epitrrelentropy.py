@@ -365,6 +365,6 @@ class EpiTrRelEntropyTri(Cone):
 
 
 def _sym_inv(M):
-    L = jnp.linalg.cholesky(M)
+    L = linalg.cholesky(M)
     eye = jnp.eye(M.shape[-1], dtype=M.dtype)
     return linalg.cho_solve(L, eye)

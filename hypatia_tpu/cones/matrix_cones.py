@@ -82,7 +82,7 @@ class _MatrixMixin:
 
 
 def _psd_feas(W):
-    L = jnp.linalg.cholesky(W)
+    L = linalg.cholesky(W)
     return jnp.all(jnp.isfinite(jnp.real(L))), L
 
 
@@ -108,7 +108,7 @@ class PosSemidefTri(_MatrixMixin, Cone):
         return pt
 
     def barrier(self, s):
-        L = jnp.linalg.cholesky(self._smat(s))
+        L = linalg.cholesky(self._smat(s))
         return -_chol_logdet(L)
 
     def feas(self, s):
@@ -121,9 +121,9 @@ class PosSemidefTri(_MatrixMixin, Cone):
 
     def point_aux(self, s):
         W = self._smat(s)
-        L = jnp.linalg.cholesky(W)
+        L = linalg.cholesky(W)
         eye = jnp.eye(self.side, dtype=W.dtype)
-        Li = linalg.solve_tri(L, eye, lower=True)
+        Li = linalg.tri_inverse(L)
         Winv = Li.conj().T @ Li
         return {"W": W, "L": L, "Winv": Winv}
 
@@ -215,7 +215,7 @@ class DoublyNonnegativeTri(Cone):
         return self.dim
 
     def barrier(self, s):
-        L = jnp.linalg.cholesky(svec_to_smat(s))
+        L = linalg.cholesky(svec_to_smat(s))
         offd = s[self.offdiag_idxs]
         return -_chol_logdet(L) - jnp.sum(jnp.log(offd))
 
@@ -278,7 +278,7 @@ class LinMatrixIneq(Cone):
         return jnp.tensordot(s.astype(As.real.dtype), As, axes=1)
 
     def barrier(self, s):
-        L = jnp.linalg.cholesky(self._pencil(s))
+        L = linalg.cholesky(self._pencil(s))
         return -_chol_logdet(L)
 
     def feas(self, s):
@@ -304,11 +304,11 @@ class HypoRootdetTri(_MatrixMixin, ZetaCone):
         return 1 + self.d
 
     def xi(self, w):
-        L = jnp.linalg.cholesky(self._smat(w))
+        L = linalg.cholesky(self._smat(w))
         return jnp.exp(_chol_logdet(L) / self.d)
 
     def phi(self, w):
-        L = jnp.linalg.cholesky(self._smat(w))
+        L = linalg.cholesky(self._smat(w))
         return -_chol_logdet(L)
 
     has_closed_Mw = True
@@ -327,12 +327,12 @@ class HypoRootdetTri(_MatrixMixin, ZetaCone):
         per point (`possemideftri.jl:126-195`-style product oracles)."""
         u, w = s[0], s[1:]
         W = self._smat(w)
-        Lc = jnp.linalg.cholesky(W)
+        Lc = linalg.cholesky(W)
         d = self.d
         phi = jnp.exp(2 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(Lc)))) / d)
         zeta = phi - u
         eye = jnp.eye(self.side, dtype=W.dtype)
-        Li = linalg.solve_tri(Lc, eye, lower=True)
+        Li = linalg.tri_inverse(Lc)
         Winv = Li.conj().T @ Li
         winv_svec = self._svec(Winv)
         coeff = 1.0 + phi / (d * zeta)
@@ -413,12 +413,12 @@ class HypoPerLogdetTri(_MatrixMixin, ZetaCone):
 
     def xi(self, wbar):
         v, w = wbar[0], wbar[1:]
-        L = jnp.linalg.cholesky(self._smat(w))
+        L = linalg.cholesky(self._smat(w))
         return v * (_chol_logdet(L) - self.d * jnp.log(v))
 
     def phi(self, wbar):
         v, w = wbar[0], wbar[1:]
-        L = jnp.linalg.cholesky(self._smat(w))
+        L = linalg.cholesky(self._smat(w))
         return -_chol_logdet(L) - jnp.log(v)
 
     has_closed_Mw = True
@@ -437,13 +437,13 @@ class HypoPerLogdetTri(_MatrixMixin, ZetaCone):
         mvv - d/(cw zeta^2) = 1/v^2 + d/(v (zeta + v)) > 0."""
         u, v, w = s[0], s[1], s[2:]
         W = self._smat(w)
-        Lc = jnp.linalg.cholesky(W)
+        Lc = linalg.cholesky(W)
         d = self.d
         logdet = 2 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(Lc))))
         xi = v * (logdet - d * jnp.log(v))
         zeta = xi - u
         eye = jnp.eye(self.side, dtype=W.dtype)
-        Li = linalg.solve_tri(Lc, eye, lower=True)
+        Li = linalg.tri_inverse(Lc)
         Winv = Li.conj().T @ Li
         winv_svec = self._svec(Winv)
         cw = 1.0 + v / zeta
@@ -570,7 +570,7 @@ class EpiNormSpectral(_SpectralMixin, Cone):
     def barrier(self, s):
         u, W = s[0], self._wmat(s[1:])
         Z = u * u * jnp.eye(self.d1, dtype=W.dtype) - W @ W.conj().T
-        L = jnp.linalg.cholesky(Z)
+        L = linalg.cholesky(Z)
         return -_chol_logdet(L) + (self.d1 - 1) * jnp.log(u)
 
     def feas(self, s):
@@ -626,7 +626,7 @@ class MatrixEpiPerSquare(_SpectralMixin, Cone):
 
     def barrier(self, s):
         Z, v = self._Z(s)
-        L = jnp.linalg.cholesky(Z)
+        L = linalg.cholesky(Z)
         return -_chol_logdet(L) + (self.d1 - 1) * jnp.log(v)
 
     def feas(self, s):

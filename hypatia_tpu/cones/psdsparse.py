@@ -101,11 +101,11 @@ class PosSemidefTriSparse(Cone):
         return out
 
     def barrier(self, s):
-        L = jnp.linalg.cholesky(self._mat(s))
+        L = linalg.cholesky(self._mat(s))
         return -2 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(L))))
 
     def feas(self, s):
-        L = jnp.linalg.cholesky(self._mat(s))
+        L = linalg.cholesky(self._mat(s))
         return jnp.all(jnp.isfinite(jnp.real(L)))
 
     # -- explicit oracles (dense-impl semantics, `denseimpl.jl:24-122`) ----
@@ -117,9 +117,9 @@ class PosSemidefTriSparse(Cone):
         inverse oracle (the projection destroys the closed-form inverse,
         as in the reference dense impl)."""
         X = self._mat(s)
-        L = jnp.linalg.cholesky(X)
+        L = linalg.cholesky(X)
         eye = jnp.eye(self.side, dtype=X.dtype)
-        Li = linalg.solve_tri(L, eye, lower=True)
+        Li = linalg.tri_inverse(L)
         Xinv = Li.conj().T @ Li
         cols = jax.vmap(
             lambda e: self._pack(Xinv @ self._mat(e) @ Xinv),

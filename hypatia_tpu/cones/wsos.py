@@ -52,14 +52,14 @@ class WSOSInterpNonnegative(Cone):
     def barrier(self, s):
         out = 0.0
         for lam in self._lambdas(s):
-            L = jnp.linalg.cholesky(lam)
+            L = linalg.cholesky(lam)
             out -= 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
         return out
 
     def feas(self, s):
         ok = jnp.asarray(True)
         for lam in self._lambdas(s):
-            L = jnp.linalg.cholesky(lam)
+            L = linalg.cholesky(lam)
             ok = ok & jnp.all(jnp.isfinite(L))
         return ok
 
@@ -71,7 +71,7 @@ class WSOSInterpNonnegative(Cone):
         for P in self.Ps:
             Pj = jnp.asarray(P)
             lam = Pj.conj().T @ (s[:, None] * Pj)
-            L = jnp.linalg.cholesky(lam)
+            L = linalg.cholesky(lam)
             LFP = linalg.solve_tri(L, Pj.conj().T, lower=True)  # (Lk, U)
             Ls.append(L)
             LFPs.append(LFP)
@@ -221,7 +221,7 @@ class WSOSInterpPosSemidefTri(Cone):
         out = 0.0
         for P in self.Ps:
             lam = self._lambda_big(s, jnp.asarray(P))
-            Lc = jnp.linalg.cholesky(lam)
+            Lc = linalg.cholesky(lam)
             out -= 2 * jnp.sum(jnp.log(jnp.diagonal(Lc)))
         return out
 
@@ -229,7 +229,7 @@ class WSOSInterpPosSemidefTri(Cone):
         ok = jnp.asarray(True)
         for P in self.Ps:
             lam = self._lambda_big(s, jnp.asarray(P))
-            Lc = jnp.linalg.cholesky(lam)
+            Lc = linalg.cholesky(lam)
             ok = ok & jnp.all(jnp.isfinite(Lc))
         return ok
 
@@ -264,7 +264,7 @@ class WSOSInterpPosSemidefTri(Cone):
         for P in self.Ps:
             Pj = jnp.asarray(P)
             lam = self._lambda_big(s, Pj)
-            Lc = jnp.linalg.cholesky(lam)
+            Lc = linalg.cholesky(lam)
             ok = ok & jnp.all(jnp.isfinite(Lc))
             Lcs.append(Lc)
             eye = jnp.eye(lam.shape[0], dtype=lam.dtype)
@@ -394,12 +394,12 @@ class WSOSInterpEpiNormEucl(Cone):
         for P in self.Ps:
             Pj = jnp.asarray(P)
             lams = self._lams(s, Pj)
-            L11 = jnp.linalg.cholesky(lams[0])
+            L11 = linalg.cholesky(lams[0])
             schur = lams[0]
             for lam_r in lams[1:]:
                 X = linalg.cho_solve(L11, lam_r)
                 schur = schur - lam_r @ X
-            Ls = jnp.linalg.cholesky((schur + schur.T) / 2)
+            Ls = linalg.cholesky((schur + schur.T) / 2)
             out -= 2 * jnp.sum(jnp.log(jnp.diagonal(Ls)))
             out -= 2 * jnp.sum(jnp.log(jnp.diagonal(L11)))
         return out
@@ -409,7 +409,7 @@ class WSOSInterpEpiNormEucl(Cone):
         for P in self.Ps:
             Pj = jnp.asarray(P)
             lams = self._lams(s, Pj)
-            L11 = jnp.linalg.cholesky(lams[0])
+            L11 = linalg.cholesky(lams[0])
             ok = ok & jnp.all(jnp.isfinite(L11))
             L11s = jnp.where(jnp.isfinite(L11), L11,
                              jnp.eye(L11.shape[0], dtype=L11.dtype))
@@ -417,7 +417,7 @@ class WSOSInterpEpiNormEucl(Cone):
             for lam_r in lams[1:]:
                 X = linalg.cho_solve(L11s, lam_r)
                 schur = schur - lam_r @ X
-            Ls = jnp.linalg.cholesky((schur + schur.T) / 2)
+            Ls = linalg.cholesky((schur + schur.T) / 2)
             ok = ok & jnp.all(jnp.isfinite(Ls))
         return ok
 
@@ -458,15 +458,15 @@ class WSOSInterpEpiNormEucl(Cone):
             Pj = jnp.asarray(P)
             lams = self._lams(s, Pj)
             Arr = self._arrow(lams)
-            La = jnp.linalg.cholesky(Arr)
+            La = linalg.cholesky(Arr)
             eye = jnp.eye(Arr.shape[0], dtype=Arr.dtype)
             Las = jnp.where(jnp.isfinite(La), La, eye)
-            Li = linalg.solve_tri(Las, eye, lower=True)
+            Li = linalg.tri_inverse(Las)
             S = Li.T @ Li
-            L11 = jnp.linalg.cholesky(lams[0])
+            L11 = linalg.cholesky(lams[0])
             eye1 = jnp.eye(lams[0].shape[0], dtype=lams[0].dtype)
             L11s_ = jnp.where(jnp.isfinite(L11), L11, eye1)
-            Li11 = linalg.solve_tri(L11s_, eye1, lower=True)
+            Li11 = linalg.tri_inverse(L11s_)
             S11 = Li11.T @ Li11
             Ss.append(S)
             S11s.append(S11)
@@ -588,12 +588,12 @@ class WSOSInterpEpiNormOne(Cone):
         for P in self.Ps:
             Pj = jnp.asarray(P)
             lams = self._lams(s, Pj)
-            L11 = jnp.linalg.cholesky(lams[0])
+            L11 = linalg.cholesky(lams[0])
             out -= 2 * jnp.sum(jnp.log(jnp.diagonal(L11)))
             for lam_r in lams[1:]:
                 X = linalg.cho_solve(L11, lam_r)
                 schur = lams[0] - lam_r @ X
-                Ls = jnp.linalg.cholesky((schur + schur.T) / 2)
+                Ls = linalg.cholesky((schur + schur.T) / 2)
                 out -= 2 * jnp.sum(jnp.log(jnp.diagonal(Ls)))
         return out
 
@@ -602,14 +602,14 @@ class WSOSInterpEpiNormOne(Cone):
         for P in self.Ps:
             Pj = jnp.asarray(P)
             lams = self._lams(s, Pj)
-            L11 = jnp.linalg.cholesky(lams[0])
+            L11 = linalg.cholesky(lams[0])
             ok = ok & jnp.all(jnp.isfinite(L11))
             L11s = jnp.where(jnp.isfinite(L11), L11,
                              jnp.eye(L11.shape[0], dtype=L11.dtype))
             for lam_r in lams[1:]:
                 X = linalg.cho_solve(L11s, lam_r)
                 schur = lams[0] - lam_r @ X
-                Ls = jnp.linalg.cholesky((schur + schur.T) / 2)
+                Ls = linalg.cholesky((schur + schur.T) / 2)
                 ok = ok & jnp.all(jnp.isfinite(Ls))
         return ok
 
@@ -647,15 +647,15 @@ class WSOSInterpEpiNormOne(Cone):
             Sr_k, Qt_k = [], []
             for lam_r in lams[1:]:
                 Arr = self._arrow2(lams[0], lam_r)
-                La = jnp.linalg.cholesky(Arr)
+                La = linalg.cholesky(Arr)
                 Las = jnp.where(jnp.isfinite(La), La, eye2)
-                Li = linalg.solve_tri(Las, eye2, lower=True)
+                Li = linalg.tri_inverse(Las)
                 S = Li.T @ Li
                 Sr_k.append(S)
                 Qt_k.append(self._q_tensor2(Pj, S))
-            L11 = jnp.linalg.cholesky(lams[0])
+            L11 = linalg.cholesky(lams[0])
             L11s_ = jnp.where(jnp.isfinite(L11), L11, eye1)
-            Li11 = linalg.solve_tri(L11s_, eye1, lower=True)
+            Li11 = linalg.tri_inverse(L11s_)
             S11 = Li11.T @ Li11
             Srs.append(Sr_k)
             Qtrs.append(Qt_k)

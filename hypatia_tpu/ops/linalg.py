@@ -42,6 +42,15 @@ def solve_tri(L, B, lower=True, trans=False):
     return jsl.solve_triangular(L, B, lower=lower, trans=tr)
 
 
+def cholesky(A):
+    """Lower Cholesky, dispatched: matmul-only blocked implementation on
+    accelerator backends for real dtypes (vectorizes under vmap; XLA's
+    native kernel serializes over batch axes on TPU), LAPACK elsewhere."""
+    if _use_blocked() and not jnp.iscomplexobj(A):
+        return blocked.blocked_cholesky(A)
+    return jnp.linalg.cholesky(A)
+
+
 def chol_ok(L):
     """True if a Cholesky factor is finite (factorization succeeded)."""
     return jnp.all(jnp.isfinite(L))
@@ -118,6 +127,18 @@ def cholesky_shifted(A, num_tries: int = None):
         return L, ok
 
     return jax.lax.cond(ok0, lambda _: (L0, ok0), fallback, None)
+
+
+def tri_inverse(L, lower=True):
+    """Explicit triangular inverse (blocked matmul-only on accelerator
+    backends for real dtypes; one wide triangular solve elsewhere)."""
+    if _use_blocked() and not jnp.iscomplexobj(L):
+        if lower:
+            return blocked.blocked_tri_inverse(L)
+        return jnp.swapaxes(
+            blocked.blocked_tri_inverse(jnp.swapaxes(L, -1, -2)), -1, -2)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return solve_tri(L, eye, lower=lower)
 
 
 def cho_solve(L, B):

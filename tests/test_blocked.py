@@ -86,3 +86,22 @@ def test_solver_on_blocked_path(monkeypatch):
     s2.solve()
     assert s2.get_status() == "Optimal"
     assert abs(s2.get_primal_obj() + np.linalg.norm(cc)) < 1e-6
+
+    # matrix cone (PSD lambda-min) through the blocked cone-oracle chols
+    from hypatia_tpu.ops.svec import smat_to_svec
+    import jax.numpy as jnp
+
+    n = 4
+    M = rng.standard_normal((n, n))
+    C = (M + M.T) / 2
+    dim = n * (n + 1) // 2
+    cvec = np.asarray(smat_to_svec(jnp.asarray(C)))
+    Ivec = np.asarray(smat_to_svec(jnp.asarray(np.eye(n))))
+    m3 = Model(cvec, Ivec[None, :], np.ones(1), -np.eye(dim),
+               np.zeros(dim), [cones.PosSemidefTri(dim)])
+    s3 = Solver(fused=True)
+    s3.load(m3)
+    s3.solve()
+    lam = np.linalg.eigvalsh(C).min()
+    assert s3.get_status() == "Optimal"
+    assert abs(s3.get_primal_obj() - lam) < 1e-6 * (1 + abs(lam))
