@@ -137,6 +137,7 @@ class Solver:
         shift_sched=0,
         max_ref_steps=5,
         schur_syrk=True,
+        naiveelim_inv_hess=True,
         fused=None,
         dtype=np.float64,
         mesh=None,
@@ -180,6 +181,7 @@ class Solver:
             min_prox=min_prox,
             shift_sched=shift_sched,
             schur_syrk=schur_syrk,
+            naiveelim_inv_hess=naiveelim_inv_hess,
         )
         self.max_ref_steps = max_ref_steps
         self.fused = fused

@@ -47,6 +47,9 @@ class StepContext:
     #: assemble sqrt-oracle cones' Schur rows in syrk form (U GQ2)'(U GQ2)
     #: — reference default when sqrt oracles exist (`qrchol.jl:219-237`)
     schur_syrk: bool = True
+    #: naiveelim: use the (mu H)^-1 z-row form (`naiveelim.jl` use_inv_hess,
+    #: the reference default) instead of the H-form
+    naiveelim_inv_hess: bool = True
     #: mesh axis name for row-sharding the cone (q) axis of the Schur
     #: assembly in update_lhs (None = unsharded); mesh_key makes distinct
     #: meshes distinct jit cache entries
@@ -61,7 +64,7 @@ class StepContext:
             self.max_cent_steps, self.pred_prox_bound, self.shift_sched,
             self.min_prox, self.prox_bound, self.use_max_prox,
             self.alpha_sched, self.max_ref_steps, self.schur_syrk,
-            self.shard_axis, self.mesh_key,
+            self.naiveelim_inv_hess, self.shard_axis, self.mesh_key,
         )
 
     def __hash__(self):

@@ -255,14 +255,22 @@ def _naiveelim_lhs4(ctx, data, iter_aux):
         eye = jnp.eye(dimk, dtype=ctx.dtype)
         s_scal = iter_aux["s_scals"][k]
         aux = iter_aux["auxes"][k]
-        H = cone.hess(s_scal, aux)
         if cone.use_dual:
             # -G_k x + mu H_k z_k + h_k tau
+            H = cone.hess(s_scal, aux)
             M = M.at[r0:r0 + dimk, xs:ys].set(-Gk)
             M = M.at[r0:r0 + dimk, zs + start:zs + start + dimk].set(H)
             M = M.at[r0:r0 + dimk, ts].set(hk)
+        elif ctx.naiveelim_inv_hess:
+            # -G_k x + (mu H_k)^-1 z_k + h_k tau (`naiveelim.jl:11-13`,
+            # use_inv_hess=true, the reference default)
+            Hi = cone.inv_hess(s_scal, aux)
+            M = M.at[r0:r0 + dimk, xs:ys].set(-Gk)
+            M = M.at[r0:r0 + dimk, zs + start:zs + start + dimk].set(Hi)
+            M = M.at[r0:r0 + dimk, ts].set(hk)
         else:
-            # -mu H_k G_k x + z_k + mu H_k h_k tau
+            # -mu H_k G_k x + z_k + mu H_k h_k tau (use_inv_hess=false)
+            H = cone.hess(s_scal, aux)
             M = M.at[r0:r0 + dimk, xs:ys].set(-H @ Gk)
             M = M.at[r0:r0 + dimk, zs + start:zs + start + dimk].set(eye)
             M = M.at[r0:r0 + dimk, ts].set(H @ hk)
@@ -382,6 +390,9 @@ def solve_system(ctx, data, iter_aux, sys, rhs):
             aux = iter_aux["auxes"][k]
             if cone.use_dual:
                 val = rz_k + rs_k
+            elif ctx.naiveelim_inv_hess:
+                # zrhs_k + (mu H_k)^-1 srhs_k (`naiveelim.jl:54-58`)
+                val = rz_k + cone.inv_hess_prod(s_scal, rs_k, aux)
             else:
                 val = cone.hess_prod(s_scal, rz_k, aux) + rs_k
             rz4 = rz4.at[start:start + dim].set(val)
