@@ -26,7 +26,12 @@ def _use_blocked():
     kernels on TPU and serialize over vmap batch axes; the blocked
     implementations (ops/blocked.py) vectorize over batch and fuse. On CPU
     the LAPACK kernels win, so keep them there.
+    HYPATIA_TPU_NO_BLOCKED=1 reverts to the native kernels everywhere.
     """
+    import os
+
+    if os.environ.get("HYPATIA_TPU_NO_BLOCKED"):
+        return False
     return jax.default_backend() != "cpu"
 
 
