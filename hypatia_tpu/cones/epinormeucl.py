@@ -19,9 +19,9 @@ def _dist(s):
 class EpiNormEucl(Cone):
     has_sqrt_oracles = True
 
-    def __init__(self, dim: int):
+    def __init__(self, dim: int, use_dual: bool = False):
         assert dim >= 2
-        super().__init__(dim, use_dual=False)
+        super().__init__(dim, use_dual)
 
     @property
     def nu(self):

@@ -41,9 +41,9 @@ class EpiPerSquare(Cone):
 
     has_sqrt_oracles = True
 
-    def __init__(self, dim: int):
+    def __init__(self, dim: int, use_dual: bool = False):
         assert dim >= 3
-        super().__init__(dim, use_dual=False)
+        super().__init__(dim, use_dual)
         self._soc = EpiNormEucl(dim)
 
     @property

@@ -7,7 +7,7 @@ per-cone instance functions in `test/nativeinstances.jl`).
 import numpy as np
 import pytest
 
-from hypatia_tpu import cones
+from hypatia_tpu import Model, cones, solve
 from tests.test_native import build_solve_check
 
 
@@ -176,3 +176,43 @@ def test_padua_points_quadrature():
                 exact = ((1 - (-1) ** (i + 1)) / (i + 1)) * (
                     (1 - (-1) ** (j + 1)) / (j + 1))
                 assert abs(approx - exact) < 1e-12
+
+
+def test_dual_form_sqrt_cones():
+    """Dual-form (use_dual=True) solves through the qrchol syrk assembly,
+    which consumes inv_sqrt_hess_prod (Gram convention Ubar'Ubar = H^-1):
+    each cone family with sqrt oracles gets one dual-form instance.
+    lambda_min via PSD, and min c'x over the dual-viewed SOC/RSOC."""
+    rng = np.random.default_rng(4)
+
+    # PSD dual form: min tr(CX), tr(X)=1, X in PSD* (= PSD)
+    import jax.numpy as jnp
+    from hypatia_tpu.ops.svec import smat_to_svec
+
+    n = 3
+    M = rng.standard_normal((n, n))
+    C = (M + M.T) / 2
+    dim = n * (n + 1) // 2
+    cvec = np.asarray(smat_to_svec(jnp.asarray(C)))
+    Ivec = np.asarray(smat_to_svec(jnp.asarray(np.eye(n))))
+    model = Model(cvec, Ivec[None, :], np.ones(1), -np.eye(dim),
+                  np.zeros(dim), [cones.PosSemidefTri(dim, use_dual=True)])
+    s = solve(model)
+    lam = np.linalg.eigvalsh(C).min()
+    assert s.get_status() == "Optimal"
+    assert abs(s.get_primal_obj() - lam) < 1e-5 * (1 + abs(lam))
+
+    # SOC dual form (self-dual): min c'x, ||x|| <= 1 via dual view
+    for cone in (cones.EpiNormEucl(5, use_dual=True),
+                 cones.EpiPerSquare(5, use_dual=True)):
+        cc = rng.standard_normal(4)
+        G = np.zeros((5, 4))
+        G[1:, :] = -np.eye(4)
+        h = np.zeros(5)
+        h[0] = 1.0
+        m2 = Model(cc, np.zeros((0, 4)), np.zeros(0), G, h, [cone])
+        s2 = solve(m2)
+        assert s2.get_status() == "Optimal", type(cone).__name__
+        if isinstance(cone, cones.EpiNormEucl):
+            # SOC is self-dual: same optimum as the primal view
+            assert abs(s2.get_primal_obj() + np.linalg.norm(cc)) < 1e-6
