@@ -19,20 +19,37 @@ import jax.scipy.linalg as jsl
 from hypatia_tpu.ops import blocked
 
 
+import contextlib
+import contextvars
+import os
+
+# Blocked factorizations are scoped, not global: XLA's native
+# cholesky/triangular_solve serialize over vmap batch axes on TPU, so
+# vmapped contexts (line-search candidate checks, the batched-instance
+# solve body) opt in via `with blocked_scope():`. Unbatched factorizations
+# keep the native kernels — the blocked implementations inline O(n) unrolled
+# steps into the program (8k HLO lines at n=128), which multiplies the
+# remote-compile cost of every solver program if used unconditionally.
+_BLOCKED = contextvars.ContextVar("use_blocked", default=False)
+
+
+@contextlib.contextmanager
+def blocked_scope(enable=True):
+    """Scope the blocked (vmap-vectorizing) factorizations to traces
+    performed inside the with-block."""
+    token = _BLOCKED.set(bool(enable))
+    try:
+        yield
+    finally:
+        _BLOCKED.reset(token)
+
+
 def _use_blocked():
-    """Use the matmul-only blocked factorizations on accelerator backends.
-
-    XLA's native cholesky/triangular_solve are sequential latency-bound
-    kernels on TPU and serialize over vmap batch axes; the blocked
-    implementations (ops/blocked.py) vectorize over batch and fuse. On CPU
-    the LAPACK kernels win, so keep them there.
-    HYPATIA_TPU_NO_BLOCKED=1 reverts to the native kernels everywhere.
-    """
-    import os
-
     if os.environ.get("HYPATIA_TPU_NO_BLOCKED"):
         return False
-    return jax.default_backend() != "cpu"
+    if os.environ.get("HYPATIA_TPU_FORCE_BLOCKED"):
+        return jax.default_backend() != "cpu"
+    return _BLOCKED.get() and jax.default_backend() != "cpu"
 
 
 def solve_tri(L, B, lower=True, trans=False):

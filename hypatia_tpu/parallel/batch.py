@@ -144,27 +144,31 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         "tol_illposed": jnp.asarray(ref_solver.tol_illposed),
     }
 
+    from hypatia_tpu.ops import linalg as _linalg
+
     @jax.jit
     def solve_all(data_b, pt_b):
         # batched while_loop with vmapped BODY: one device call, loop runs
-        # until every instance terminates
-        body_fn = fused.make_body(ctx, conv_tols, tols)
-        batched_body = jax.vmap(body_fn, in_axes=(0, 0))
+        # until every instance terminates. blocked_scope wraps the TRACE
+        # (this whole body runs at trace time): the blocked factorizations
+        # vectorize over the vmap lanes.
+        with _linalg.blocked_scope():
+            body_fn = fused.make_body(ctx, conv_tols, tols)
+            batched_body = jax.vmap(body_fn, in_axes=(0, 0))
 
-        def cond(carry):
-            return jnp.any((carry["status"] == 0) & (carry["it"] < iter_limit))
+            def cond(carry):
+                return jnp.any((carry["status"] == 0)
+                               & (carry["it"] < iter_limit))
 
-        def body(carry):
-            return batched_body(data_b, carry)
+            def body(carry):
+                return batched_body(data_b, carry)
 
-        carry0 = jax.vmap(lambda p: fused.init_carry(ctx, p))(pt_b)
-        out = jax.lax.while_loop(cond, body, carry0)
+            carry0 = jax.vmap(lambda p: fused.init_carry(ctx, p))(pt_b)
+            out = jax.lax.while_loop(cond, body, carry0)
         status = jnp.where(out["status"] == 0, 6, out["status"])
         return out["pt"], status, out["it"]
 
     chunk = 16
-
-    from hypatia_tpu.ops import linalg as _linalg
 
     @jax.jit
     def chunk_step_all(data_b, carry):
@@ -174,7 +178,7 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         # Under vmap every lax.cond lowers to a select (both branches run
         # for all lanes), so the cholesky retry chain would always pay all
         # its factorizations — trace with a single recovery shift instead.
-        with _linalg.chol_tries(2):
+        with _linalg.chol_tries(2), _linalg.blocked_scope():
             body_fn = fused.make_body(ctx, conv_tols, tols)
             batched = jax.vmap(body_fn, in_axes=(0, 0))
 

@@ -24,6 +24,7 @@ from hypatia_tpu.solvers.structures import (
     point_vec,
     primal_dual_views,
 )
+from hypatia_tpu.ops import linalg
 from hypatia_tpu.solvers import syssolvers
 
 
@@ -235,7 +236,10 @@ def search_alpha(ctx, pt, dirs, mode, start_idx=None):
                                  cand["kap"])
 
     def full_search():
-        oks, proxs = jax.vmap(check_one)(alphas)
+        with linalg.blocked_scope():
+            # vmapped candidate checks: the blocked factorizations
+            # vectorize over the alpha lanes (native chol serializes)
+            oks, proxs = jax.vmap(check_one)(alphas)
         found = jnp.any(oks)
         # first True = largest alpha (schedule descending)
         idx = jnp.argmax(oks)
@@ -252,7 +256,8 @@ def search_alpha(ctx, pt, dirs, mode, start_idx=None):
 
     def window_search():
         w_alphas = jax.lax.dynamic_slice(alphas, (start,), (window,))
-        oks, proxs = jax.vmap(check_one)(w_alphas)
+        with linalg.blocked_scope():
+            oks, proxs = jax.vmap(check_one)(w_alphas)
         found = jnp.any(oks)
         idx = jnp.argmax(oks)
         alpha = jnp.where(found, w_alphas[idx],
