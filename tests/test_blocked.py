@@ -117,12 +117,14 @@ def test_blocked_scope_tracing(monkeypatch):
                         raising=False)
     A = jnp.asarray(np.eye(8) * 4.0)
 
-    def jaxpr_text(fn):
-        return str(jax.make_jaxpr(fn)(A))
+    def jaxpr_text():
+        # fresh lambda each call: jax caches traces by function identity,
+        # which would otherwise hide the ContextVar switch
+        return str(jax.make_jaxpr(lambda x: linalg.cholesky(x))(A))
 
     with linalg.blocked_scope():
-        txt_in = jaxpr_text(linalg.cholesky)
-    txt_out = jaxpr_text(linalg.cholesky)
+        txt_in = jaxpr_text()
+    txt_out = jaxpr_text()
     # the native path uses the cholesky primitive; blocked is pure
     # elementwise + dynamic-update-slice and contains none
     assert "cholesky" in txt_out
