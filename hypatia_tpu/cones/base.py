@@ -201,6 +201,37 @@ class Cone:
         bad = prox < -negtol * self.dim
         return jnp.where(bad, jnp.inf, jnp.abs(prox))
 
+    def sz_parts(self, primal, dual):
+        """Per-primitive-cone <primal, dual> values as a 1-D array (one
+        entry for a plain cone; BatchedCone returns one per sub-cone) —
+        used by the line search's per-cone proximity windows
+        (`search.jl:101-107`)."""
+        return jnp.dot(primal, dual)[None]
+
+    def nu_parts(self):
+        """Per-primitive-cone barrier parameters, aligned with sz_parts."""
+        return np.asarray([self.nu], dtype=np.float64)
+
+    def adj_gated_val(self, s_scal, prim_dir, irtrtmu, centering, aux=None):
+        """Third-order adjustment s-RHS block with the per-cone dder3
+        identity gate (`steppers/common.jl:26-59` predadj, `:85-118`
+        centadj): returns dder3 (centering) or H dir + dder3 (prediction),
+        zeroed when the identity check fails."""
+        rteps = jnp.sqrt(jnp.finfo(s_scal.dtype).eps)
+        prim_scal = irtrtmu * prim_dir
+        dder3_k = self.dder3(s_scal, prim_scal, aux)
+        dot1 = jnp.dot(dder3_k, s_scal)
+        if centering:
+            H_prim_scal = self.hess_prod(s_scal, prim_scal, aux)
+            dot2 = jnp.dot(prim_scal, H_prim_scal)
+            val = dder3_k
+        else:
+            H_prim_dir = self.hess_prod(s_scal, prim_dir, aux)
+            dot2 = irtrtmu * jnp.dot(prim_scal, H_prim_dir)
+            val = H_prim_dir + dder3_k
+        viol = jnp.abs(dot1 - dot2) / (rteps + jnp.abs(dot2))
+        return jnp.where(viol < 1e-4, val, jnp.zeros_like(val))
+
     def check_numerics(self, s, z, aux=None):
         """LHSCB identity guards ⟨g,s⟩=-ν and ⟨H⁻¹g,g⟩=ν
         (`src/Cones/Cones.jl:273-290`)."""

@@ -47,8 +47,11 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
                            if k not in ("preprocess",)})
     ref_solver.preprocess = False
 
+    from hypatia_tpu.cones.batched import group_cones as _group_cones
+
+    g_cones, g_idxs = _group_cones(tuple(m0.cones), tuple(m0.cone_idxs))
     ctx = StepContext(
-        cones=tuple(m0.cones), cone_idxs=tuple(m0.cone_idxs),
+        cones=g_cones, cone_idxs=g_idxs,
         n=m0.n, p=m0.p, q=m0.q, nu=m0.nu,
         dtype=jnp.dtype(np.float64),
         syssolver=syssolver,

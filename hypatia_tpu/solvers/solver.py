@@ -138,6 +138,7 @@ class Solver:
         max_ref_steps=5,
         schur_syrk=True,
         naiveelim_inv_hess=True,
+        group_cones=True,
         fused=None,
         dtype=np.float64,
         mesh=None,
@@ -184,6 +185,7 @@ class Solver:
             naiveelim_inv_hess=naiveelim_inv_hess,
         )
         self.max_ref_steps = max_ref_steps
+        self.group_cones = group_cones
         self.fused = fused
         #: jax.sharding.Mesh for a SINGLE-model distributed solve: the cone
         #: (q) axis of the Schur assembly is row-sharded over the mesh's
@@ -319,9 +321,20 @@ class Solver:
         t0 = time.time()
         from hypatia_tpu.solvers import shard as shardmod
 
+        # group adjacent structurally-identical cones into vmapped
+        # BatchedCones (SURVEY §7 "group cones by type"): program size and
+        # sequential per-cone work stop scaling with the cone count
+        from hypatia_tpu.cones.batched import group_cones as _group_cones
+
+        if self.group_cones:
+            g_cones, g_idxs = _group_cones(tuple(model.cones),
+                                           tuple(model.cone_idxs))
+        else:
+            g_cones = tuple(model.cones)
+            g_idxs = tuple(model.cone_idxs)
         ctx = StepContext(
-            cones=tuple(model.cones),
-            cone_idxs=tuple(model.cone_idxs),
+            cones=g_cones,
+            cone_idxs=g_idxs,
             n=model.n, p=model.p, q=model.q, nu=model.nu,
             dtype=jnp.dtype(self.dtype),
             syssolver=self.syssolver,

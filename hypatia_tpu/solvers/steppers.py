@@ -79,30 +79,15 @@ def _adj_rhs_s(ctx, iter_aux, direc, centering):
     (`steppers/common.jl:26-59` predadj, `:85-118` centadj)."""
     mu = iter_aux["mu"]
     irtrtmu = 1.0 / jnp.sqrt(jnp.sqrt(mu))
-    rteps = jnp.sqrt(jnp.finfo(ctx.dtype).eps)
     s_out = jnp.zeros(ctx.q, dtype=ctx.dtype)
     for k, cone in enumerate(ctx.cones):
         if not cone.has_dder3:
             continue
         start, dim = ctx.cone_idxs[k]
         prim_dir, _ = primal_dual_views(ctx, direc["z"], direc["s"], k)
-        prim_scal = irtrtmu * prim_dir
-        s_scal = iter_aux["s_scals"][k]
-        aux = iter_aux["auxes"][k]
-        dder3_k = cone.dder3(s_scal, prim_scal, aux)
-        dot1 = jnp.dot(dder3_k, s_scal)
-        if centering:
-            H_prim_scal = cone.hess_prod(s_scal, prim_scal, aux)
-            dot2 = jnp.dot(prim_scal, H_prim_scal)
-            val = dder3_k
-        else:
-            H_prim_dir = cone.hess_prod(s_scal, prim_dir, aux)
-            dot2 = irtrtmu * jnp.dot(prim_scal, H_prim_dir)
-            val = H_prim_dir + dder3_k
-        viol = jnp.abs(dot1 - dot2) / (rteps + jnp.abs(dot2))
-        use = viol < 1e-4
-        s_out = s_out.at[start:start + dim].set(
-            jnp.where(use, val, jnp.zeros(dim, dtype=ctx.dtype)))
+        val = cone.adj_gated_val(iter_aux["s_scals"][k], prim_dir, irtrtmu,
+                                 centering, iter_aux["auxes"][k])
+        s_out = s_out.at[start:start + dim].set(val)
     return s_out
 
 
@@ -142,14 +127,19 @@ def check_cone_points(ctx, z, s, tau, kap):
     taukap = tau * kap
     ok = (tau > eps) & (kap > eps) & (taukap > eps)
 
-    szs = []
-    for k in range(len(ctx.cones)):
+    # per-primitive-cone <s,z> parts (BatchedCone groups report one entry
+    # per sub-cone so the windows below keep reference granularity)
+    sz_parts = []
+    nu_parts = []
+    for k, cone in enumerate(ctx.cones):
         primal_k, dual_k = primal_dual_views(ctx, z, s, k)
-        szk = jnp.dot(primal_k, dual_k)
-        szs.append(szk)
-        ok = ok & (szk >= eps)
+        sz_parts.append(cone.sz_parts(primal_k, dual_k))
+        nu_parts.append(jnp.asarray(cone.nu_parts(), dtype=ctx.dtype))
+    szs = jnp.concatenate(sz_parts)
+    nus = jnp.concatenate(nu_parts)
+    ok = ok & jnp.all(szs >= eps)
 
-    mu = (sum(szs) + taukap) / (ctx.nu + 1)
+    mu = (jnp.sum(szs) + taukap) / (ctx.nu + 1)
     ok = ok & (mu >= eps)
     mu_safe = jnp.where(mu >= eps, mu, jnp.ones((), dtype=ctx.dtype))
 
@@ -157,10 +147,9 @@ def check_cone_points(ctx, z, s, tau, kap):
     taukap_proxsqr = (taukap_rel - 1) ** 2
     ok = ok & (taukap_rel >= min_prox) & (taukap_proxsqr <= proxsqr_bound)
 
-    for k, cone in enumerate(ctx.cones):
-        nu_k = cone.nu
-        sz_rel = szs[k] / (mu_safe * nu_k)
-        ok = ok & (sz_rel >= min_prox) & (nu_k * (sz_rel - 1) ** 2 <= proxsqr_bound)
+    sz_rel = szs / (mu_safe * nus)
+    ok = ok & jnp.all(sz_rel >= min_prox) \
+        & jnp.all(nus * (sz_rel - 1) ** 2 <= proxsqr_bound)
 
     irtmu = 1.0 / jnp.sqrt(mu_safe)
     proxs = [taukap_proxsqr]

@@ -287,7 +287,8 @@ def _naiveelim_lhs4(ctx, data, iter_aux):
 # ---------------------------------------------------------------------------
 
 
-def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
+def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz,
+                     accurate=False):
     """Solve the reduced 3x3 system; rhs already transformed per-strategy.
 
     qrchol: `qrchol.jl:39-85`.  symindef: dense QR solve of the assembled
@@ -346,7 +347,14 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
         Q2div = Qb[p:] - data["GQ2"].T @ HGQ1y
     else:
         Q2div = Qb
-    x2 = sys["schur_inv"] @ Q2div
+    if accurate and "schur_chol" in sys:
+        # refinement corrections: solve through the Cholesky factor (two
+        # triangular solves) — the explicit inverse's forward error
+        # ~cond(S)*eps stalls refinement at ~1e-5 residuals near
+        # convergence on degenerate instances (cond(S) ~ 1/mu^2)
+        x2 = linalg.cho_solve(sys["schur_chol"], Q2div[:, None])[:, 0]
+    else:
+        x2 = sys["schur_inv"] @ Q2div
     if p > 0:
         xq = jnp.concatenate([yq, x2])
         x = data["Ap_Q"] @ xq
@@ -368,7 +376,7 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz):
 # ---------------------------------------------------------------------------
 
 
-def solve_system(ctx, data, iter_aux, sys, rhs):
+def solve_system(ctx, data, iter_aux, sys, rhs, accurate=False):
     """Solve the 6x6 system for a direction (`common.jl:129-182`)."""
     if ctx.syssolver == "naive":
         r6 = point_vec(rhs)
@@ -431,7 +439,8 @@ def solve_system(ctx, data, iter_aux, sys, rhs):
                 val = -cone.inv_hess_prod(s_scal, rs_k, aux) - rz_k
         rz3 = rz3.at[start:start + dim].set(val)
 
-    x_sub, y_sub, z_sub = solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz3)
+    x_sub, y_sub, z_sub = solve_subsystem3(ctx, data, iter_aux, sys,
+                                            rx, ry, rz3, accurate=accurate)
 
     # lift tau via the two-RHS trick (`common.jl:154-182`)
     xc, yc, zc = sys["sol_const"]
@@ -479,7 +488,7 @@ def get_directions(ctx, data, iter_aux, sys, rhs, res_norm_cutoff,
 
     def body(carry):
         best, res, res_norm, prev_norm, prev_slow, i, active = carry
-        corr = solve_system(ctx, data, iter_aux, sys, res)
+        corr = solve_system(ctx, data, iter_aux, sys, res, accurate=True)
         cand = jax.tree_util.tree_map(lambda bb, cc: bb - cc, best, corr)
         res_new = residual(cand)
         res_norm_new = jnp.max(jnp.abs(point_vec(res_new)))
