@@ -120,3 +120,40 @@ def blocked_tri_inverse(L, base=16):
     return jnp.concatenate([
         jnp.concatenate([X11, z], axis=-1),
         jnp.concatenate([X21, X22], axis=-1)], axis=-2)
+
+
+def _tri_solve_unblocked(L, B):
+    """Solve L X = B for lower-triangular (..., b, b) blocks by unrolled
+    forward substitution; B is (..., b, k)."""
+    b = L.shape[-1]
+    cols = jnp.arange(b)
+    X = jnp.zeros_like(B)
+    for i in range(b):
+        Lrow = jnp.where(cols < i, L[..., i, :], jnp.zeros_like(L[..., i, :]))
+        acc = jnp.einsum("...k,...kj->...j", Lrow, X)
+        X = X.at[..., i, :].set(
+            (B[..., i, :] - acc) / L[..., i, i][..., None])
+    return X
+
+
+def blocked_tri_solve(L, B, base=16, trans=False):
+    """Backward-stable lower-triangular solve L X = B (or L' X = B with
+    trans=True), matmul/VPU-only — the substitution analog of
+    blocked_tri_inverse for accuracy-critical solves inside vmapped
+    contexts (explicit-inverse application has ~cond(L)*eps forward
+    error; substitution is backward stable)."""
+    if trans:
+        # L' X = B  <=>  (flip) lower solve: P L' P is lower for the
+        # anti-diagonal permutation P; equivalently solve via reversed
+        # index order
+        Lf = jnp.flip(jnp.swapaxes(L, -1, -2), (-1, -2))
+        Bf = jnp.flip(B, -2)
+        return jnp.flip(blocked_tri_solve(Lf, Bf, base), -2)
+    n = L.shape[-1]
+    if n <= base:
+        return _tri_solve_unblocked(L, B)
+    m = _split(n, base)
+    X1 = blocked_tri_solve(L[..., :m, :m], B[..., :m, :], base)
+    B2 = B[..., m:, :] - L[..., m:, :m] @ X1
+    X2 = blocked_tri_solve(L[..., m:, m:], B2, base)
+    return jnp.concatenate([X1, X2], axis=-2)

@@ -164,7 +164,14 @@ def tri_inverse(L, lower=True):
 
 
 def cho_solve(L, B):
-    """Solve A X = B given lower Cholesky factor L of A."""
+    """Solve A X = B given lower Cholesky factor L of A.
+
+    Inside blocked_scope the two triangular solves run as the blocked
+    SUBSTITUTION kernels (backward stable, vmap-vectorizing) instead of
+    XLA's sequential triangular_solve."""
+    if _use_blocked() and not jnp.iscomplexobj(L):
+        Y = blocked.blocked_tri_solve(L, B)
+        return blocked.blocked_tri_solve(L, Y, trans=True)
     Y = solve_tri(L, B, lower=True, trans=False)
     return solve_tri(L, Y, lower=True, trans=True)
 

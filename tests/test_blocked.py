@@ -129,3 +129,23 @@ def test_blocked_scope_tracing(monkeypatch):
     # elementwise + dynamic-update-slice and contains none
     assert "cholesky" in txt_out
     assert "cholesky" not in txt_in
+
+
+def test_blocked_tri_solve():
+    from hypatia_tpu.ops.blocked import blocked_tri_solve
+
+    rng = np.random.default_rng(1)
+    for n in [5, 16, 40, 64]:
+        M = rng.standard_normal((n, n))
+        L = np.linalg.cholesky(M @ M.T + n * np.eye(n))
+        B = rng.standard_normal((n, 3))
+        X = np.asarray(blocked_tri_solve(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(L @ X, B, atol=1e-12 * n)
+        Xt = np.asarray(blocked_tri_solve(jnp.asarray(L), jnp.asarray(B),
+                                          trans=True))
+        np.testing.assert_allclose(L.T @ Xt, B, atol=1e-12 * n)
+    # batched (vmap semantics via leading dims)
+    Lb = np.stack([L, L + np.tril(0.1 * np.eye(n))])
+    Bb = np.stack([B, 2 * B])
+    Xb = np.asarray(blocked_tri_solve(jnp.asarray(Lb), jnp.asarray(Bb)))
+    np.testing.assert_allclose(Lb @ Xb, Bb, atol=1e-11 * n)
