@@ -202,7 +202,17 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         status = jnp.where(carry["status"] == 0, 6, carry["status"])
         return carry["pt"], status, carry["it"]
 
-    if jax.default_backend() == "cpu":
+    # CPU: fully fused batched while_loop (one device call). TPU: the
+    # batched while_loop used to crash XLA's memory-space-assignment pass
+    # with the NATIVE batched cholesky ops; with the blocked (matmul-only)
+    # factorizations in the vmapped body it is worth attempting again —
+    # opt in via HYPATIA_TPU_BATCH_FUSED=1, falling back to the chunked
+    # host loop on compile failure.
+    import os
+
+    try_fused = (jax.default_backend() == "cpu"
+                 or os.environ.get("HYPATIA_TPU_BATCH_FUSED"))
+    if try_fused:
         try:
             pt_b, status_b, iters_b = solve_all(data_b, pt_b)
         except Exception:
