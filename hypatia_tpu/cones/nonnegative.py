@@ -13,9 +13,9 @@ from hypatia_tpu.cones.base import Cone
 class Nonnegative(Cone):
     has_sqrt_oracles = True
 
-    def __init__(self, dim: int):
+    def __init__(self, dim: int, use_dual: bool = False):
         assert dim >= 1
-        super().__init__(dim, use_dual=False)
+        super().__init__(dim, use_dual)
 
     @property
     def nu(self):
