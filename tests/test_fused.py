@@ -60,3 +60,24 @@ def test_shift_sched_warm_start():
         assert s.get_status() == "Optimal"
         assert abs(s.get_primal_obj() - base.get_primal_obj()) < 1e-7 * (
             1 + abs(base.get_primal_obj()))
+
+
+def test_profile_phases_smoke():
+    """profile_phases returns the per-phase breakdown used by bench.py
+    (upsys/upfact/uprhs/getdir/search + kkt_ms); values nonneg/finite."""
+    import numpy as np
+    from hypatia_tpu import Model, Solver, cones
+    from hypatia_tpu.solvers.profile import profile_phases
+
+    rng = np.random.default_rng(0)
+    A = 10 * rng.random((6, 15))
+    model = Model(rng.random(15), A, A.sum(1), -np.eye(15), np.zeros(15),
+                  [cones.Nonnegative(15)])
+    s = Solver(fused=True, default_tol_relax=10)
+    s.load(model)
+    s.solve()
+    assert s.get_status() == "Optimal"
+    res = profile_phases(s, n=3)
+    for key in ("upsys_ms", "upfact_ms", "uprhs_ms", "getdir_ms",
+                "search_ms", "kkt_ms", "total_accounted_ms"):
+        assert key in res and np.isfinite(res[key]) and res[key] >= 0.0
