@@ -102,9 +102,43 @@ def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10,
     return out
 
 
+def _device_probe(timeout=600):
+    """Probe device claim + a trivial compile in a subprocess: if the TPU
+    pool is wedged (device claim hangs indefinitely — observed once after
+    a client was killed mid-remote-compile), fail fast with a diagnostic
+    instead of hanging the whole bench run."""
+    # sitecustomize pins the axon backend regardless of JAX_PLATFORMS, so
+    # mirror tests/conftest.py and update the live config too (lets a
+    # debug run probe CPU with JAX_PLATFORMS=cpu)
+    snippet = (
+        "import os, jax;"
+        "p = os.environ.get('JAX_PLATFORMS');"
+        "p and jax.config.update('jax_platforms', p.split(',')[0]);"
+        "import jax.numpy as jnp;"
+        "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    try:
+        out = subprocess.run([sys.executable, "-c", snippet],
+                             capture_output=True, text=True,
+                             timeout=timeout)
+        return out.returncode == 0, (out.stderr or "")[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"device probe timed out after {timeout}s"
+
+
 def main():
     import os
     import jax
+
+    ok, diag = _device_probe()
+    if not ok:
+        print(json.dumps({
+            "metric": "linearopt_lp_256_ipm_iterations_per_s",
+            "value": 0.0, "unit": "iters/s", "vs_baseline": 0.0,
+            "error": "device unavailable (claim/compile probe failed)",
+            "probe_diag": diag,
+        }))
+        return
+
     # persistent compile cache: TPU remote compiles are slow (~minutes for
     # the big fused programs); cache compiled binaries across runs
     os.makedirs("/tmp/jax_cache", exist_ok=True)
