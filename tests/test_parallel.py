@@ -134,3 +134,19 @@ def test_sharded_single_model_socp():
     assert abs(sh.get_num_iters() - ref.get_num_iters()) <= 3
     np.testing.assert_allclose(sh.get_primal_obj(), ref.get_primal_obj(),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_solve_batch_blocked_kernels(monkeypatch):
+    """Force the blocked (TPU vmap-vectorizing) factorizations through the
+    batched body on CPU — the code path the real TPU batch takes."""
+    from hypatia_tpu.ops import linalg
+
+    monkeypatch.setattr(linalg, "_use_blocked", lambda: True)
+    models = [_random_lp(100 + seed) for seed in range(3)]
+    results = solve_batch(models)
+    import scipy.optimize
+    for model, res in zip(models, results):
+        assert res["status"] == "Optimal", res
+        ref = scipy.optimize.linprog(model.c, A_eq=model.A, b_eq=model.b,
+                                     bounds=(0, None)).fun
+        assert abs(res["primal_obj"] - ref) < 1e-6 * (1 + abs(ref))
