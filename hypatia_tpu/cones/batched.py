@@ -82,11 +82,8 @@ class BatchedCone(Cone):
         return _vm(self.base.point_aux, self._split(s))
 
     def point_aux_light(self, s):
-        from hypatia_tpu.ops import linalg
-
-        with linalg.chol_tries(1):
-            aux = jax.vmap(self.base.point_aux_light)(self._split(s))
-        return aux
+        # base.point_aux_light already scopes chol_tries(1) at trace time
+        return jax.vmap(self.base.point_aux_light)(self._split(s))
 
     def _get_aux(self, s, aux):
         return self.point_aux(s) if aux is None else aux

@@ -37,18 +37,26 @@ def _chol_unblocked(A):
     return L
 
 
-def _tri_inv_unblocked(L):
-    """Inverse of (..., b, b) lower-triangular blocks, unrolled forward
-    substitution (row i depends on rows < i)."""
+def _tri_solve_unblocked(L, B):
+    """Solve L X = B for lower-triangular (..., b, b) blocks by unrolled
+    forward substitution; B is (..., b, k)."""
     b = L.shape[-1]
     cols = jnp.arange(b)
-    X = jnp.zeros_like(L)
+    X = jnp.zeros_like(B)
     for i in range(b):
         Lrow = jnp.where(cols < i, L[..., i, :], jnp.zeros_like(L[..., i, :]))
         acc = jnp.einsum("...k,...kj->...j", Lrow, X)
-        e_i = jnp.zeros(b, dtype=L.dtype).at[i].set(1.0)
-        X = X.at[..., i, :].set((e_i - acc) / L[..., i, i][..., None])
+        X = X.at[..., i, :].set(
+            (B[..., i, :] - acc) / L[..., i, i][..., None])
     return X
+
+
+def _tri_inv_unblocked(L):
+    """Inverse of (..., b, b) lower-triangular blocks: unrolled forward
+    substitution against the identity."""
+    b = L.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(b, dtype=L.dtype), L.shape)
+    return _tri_solve_unblocked(L, eye)
 
 
 def _split(n, base):
@@ -120,20 +128,6 @@ def blocked_tri_inverse(L, base=16):
     return jnp.concatenate([
         jnp.concatenate([X11, z], axis=-1),
         jnp.concatenate([X21, X22], axis=-1)], axis=-2)
-
-
-def _tri_solve_unblocked(L, B):
-    """Solve L X = B for lower-triangular (..., b, b) blocks by unrolled
-    forward substitution; B is (..., b, k)."""
-    b = L.shape[-1]
-    cols = jnp.arange(b)
-    X = jnp.zeros_like(B)
-    for i in range(b):
-        Lrow = jnp.where(cols < i, L[..., i, :], jnp.zeros_like(L[..., i, :]))
-        acc = jnp.einsum("...k,...kj->...j", Lrow, X)
-        X = X.at[..., i, :].set(
-            (B[..., i, :] - acc) / L[..., i, i][..., None])
-    return X
 
 
 def blocked_tri_solve(L, B, base=16, trans=False):

@@ -170,8 +170,11 @@ def cho_solve(L, B):
     SUBSTITUTION kernels (backward stable, vmap-vectorizing) instead of
     XLA's sequential triangular_solve."""
     if _use_blocked() and not jnp.iscomplexobj(L):
-        Y = blocked.blocked_tri_solve(L, B)
-        return blocked.blocked_tri_solve(L, Y, trans=True)
+        one_d = B.ndim == L.ndim - 1
+        Bm = B[..., None] if one_d else B
+        Y = blocked.blocked_tri_solve(L, Bm)
+        X = blocked.blocked_tri_solve(L, Y, trans=True)
+        return X[..., 0] if one_d else X
     Y = solve_tri(L, B, lower=True, trans=False)
     return solve_tri(L, Y, lower=True, trans=True)
 

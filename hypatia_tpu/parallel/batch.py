@@ -49,7 +49,11 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
 
     from hypatia_tpu.cones.batched import group_cones as _group_cones
 
-    g_cones, g_idxs = _group_cones(tuple(m0.cones), tuple(m0.cone_idxs))
+    if solver_options.pop("group_cones", True):
+        g_cones, g_idxs = _group_cones(tuple(m0.cones),
+                                       tuple(m0.cone_idxs))
+    else:
+        g_cones, g_idxs = tuple(m0.cones), tuple(m0.cone_idxs)
     ctx = StepContext(
         cones=g_cones, cone_idxs=g_idxs,
         n=m0.n, p=m0.p, q=m0.q, nu=m0.nu,
@@ -155,7 +159,9 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         # until every instance terminates. blocked_scope wraps the TRACE
         # (this whole body runs at trace time): the blocked factorizations
         # vectorize over the vmap lanes.
-        with _linalg.blocked_scope():
+        with _linalg.chol_tries(2), _linalg.blocked_scope():
+            # chol_tries(2): under vmap lax.cond lowers to select, so the
+            # full 4-attempt retry chain would always execute for all lanes
             body_fn = fused.make_body(ctx, conv_tols, tols)
             batched_body = jax.vmap(body_fn, in_axes=(0, 0))
 
@@ -210,8 +216,9 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     # host loop on compile failure.
     import os
 
+    fused_env = os.environ.get("HYPATIA_TPU_BATCH_FUSED", "")
     try_fused = (jax.default_backend() == "cpu"
-                 or os.environ.get("HYPATIA_TPU_BATCH_FUSED"))
+                 or fused_env.lower() not in ("", "0", "false"))
     if try_fused:
         try:
             pt_b, status_b, iters_b = solve_all(data_b, pt_b)

@@ -17,12 +17,16 @@ def explain_candidate(ctx, z, s, tau, kap):
     out["tau>eps"] = float(tau) > eps
     out["kap>eps"] = float(kap) > eps
     out["taukap>eps"] = taukap > eps
-    szs = []
+    # per-primitive-cone parts (BatchedCone groups report one entry per
+    # sub-cone, matching check_cone_points' windows)
+    szs, nus = [], []
     for k, cone in enumerate(ctx.cones):
         pk, dk = primal_dual_views(ctx, z, s, k)
-        szs.append(float(jnp.dot(pk, dk)))
-        out[f"c{k}_sz>=eps"] = szs[k] >= eps
-    mu = (sum(szs) + taukap) / (ctx.nu + 1)
+        parts = np.asarray(cone.sz_parts(pk, dk))
+        szs.append(parts)
+        nus.append(np.asarray(cone.nu_parts()))
+        out[f"c{k}_sz>=eps"] = bool(np.all(parts >= eps))
+    mu = (sum(float(p.sum()) for p in szs) + taukap) / (ctx.nu + 1)
     out["mu"] = mu
     out["taukap_rel"] = taukap / mu
     out["taukap_rel>=minprox"] = taukap / mu >= ctx.min_prox
@@ -31,9 +35,10 @@ def explain_candidate(ctx, z, s, tau, kap):
     aggs = [(taukap / mu - 1) ** 2]
     for k, cone in enumerate(ctx.cones):
         pk, dk = primal_dual_views(ctx, z, s, k)
-        sz_rel = szs[k] / (mu * cone.nu)
-        out[f"c{k}_szrel_window"] = (sz_rel >= ctx.min_prox) and (
-            cone.nu * (sz_rel - 1) ** 2 <= ctx.prox_bound**2)
+        sz_rel = szs[k] / (mu * nus[k])
+        out[f"c{k}_szrel_window"] = bool(
+            np.all(sz_rel >= ctx.min_prox)
+            and np.all(nus[k] * (sz_rel - 1) ** 2 <= ctx.prox_bound**2))
         ss = irtmu * pk
         aux = cone.point_aux(ss)
         out[f"c{k}_feas"] = bool(cone.feas(ss))
