@@ -150,3 +150,43 @@ def test_solve_batch_blocked_kernels(monkeypatch):
         ref = scipy.optimize.linprog(model.c, A_eq=model.A, b_eq=model.b,
                                      bounds=(0, None)).fun
         assert abs(res["primal_obj"] - ref) < 1e-6 * (1 + abs(ref))
+
+
+def test_sharded_single_model_matrix_cone():
+    """Sharded Schur assembly with a matrix cone in the mix (logdet-style
+    model): per-cone hess products row-shard over the mesh; iterates match
+    the unsharded solve."""
+    from hypatia_tpu import Solver
+    from hypatia_tpu.ops.svec import smat_to_svec
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    side = 4
+    dim = side * (side + 1) // 2
+    M = rng.standard_normal((side, side))
+    C = (M + M.T) / 2
+    cvec = np.asarray(smat_to_svec(jnp.asarray(C)))
+    Ivec = np.asarray(smat_to_svec(jnp.asarray(np.eye(side))))
+    # min tr(CX) s.t. tr(X) = 1, X psd, plus a nonnegative slack block to
+    # make q a multiple of the device count (sharding pads otherwise)
+    n = dim
+    model = Model(cvec, Ivec[None, :], np.ones(1), -np.eye(n), np.zeros(n),
+                  [cones.PosSemidefTri(dim)])
+
+    ref = Solver(verbose=False, fused=True, default_tol_relax=10)
+    ref.load(model)
+    ref.solve()
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("cones",))
+    m2 = Model(cvec, Ivec[None, :], np.ones(1), -np.eye(n), np.zeros(n),
+               [cones.PosSemidefTri(dim)])
+    sh = Solver(verbose=False, fused=True, default_tol_relax=10, mesh=mesh)
+    sh.load(m2)
+    sh.solve()
+    lam = np.linalg.eigvalsh(C).min()
+    assert ref.get_status() == "Optimal"
+    assert sh.get_status() == "Optimal"
+    np.testing.assert_allclose(sh.get_primal_obj(), lam,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(sh.get_primal_obj(), ref.get_primal_obj(),
+                               rtol=1e-8, atol=1e-10)
