@@ -175,3 +175,35 @@ def test_epipersepspectral_matrix_entropy():
                       [cones.EpiPerSepSpectralMatrix(cones.NegEntropySSF(),
                                                      2)],
                       expect_obj=opt, tol=1e-6)
+
+
+def test_epinormspectral_complex():
+    """min u s.t. W = fixed complex -> u* = sigma_max(W)."""
+    rng = np.random.default_rng(6)
+    W0 = rng.standard_normal((2, 3)) + 1j * rng.standard_normal((2, 3))
+    smax = np.linalg.svd(W0, compute_uv=False).max()
+    cone = cones.EpiNormSpectral(2, 3, is_complex=True)
+    wvec = np.asarray(cone._wvec(jnp.asarray(W0)))
+    dim = 1 + wvec.size
+    G = np.zeros((dim, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0], wvec])
+    build_solve_check([1.0], np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.EpiNormSpectral(2, 3, is_complex=True)],
+                      expect_obj=smax)
+
+
+def test_hyporootdettri_complex():
+    """max u s.t. W = fixed Hermitian -> u* = det(W)^(1/d)."""
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+    W0 = M @ M.conj().T + 3 * np.eye(3)
+    opt = float(np.real(np.linalg.det(W0))) ** (1.0 / 3.0)
+    wvec = _hsvec_np(W0)
+    dim = 1 + wvec.size
+    G = np.zeros((dim, 1))
+    G[0, 0] = -1.0
+    h = np.concatenate([[0.0], wvec])
+    build_solve_check([-1.0], np.zeros((0, 1)), np.zeros(0), G, h,
+                      [cones.HypoRootdetTri(dim, is_complex=True)],
+                      expect_obj=-opt)
