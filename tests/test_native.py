@@ -48,6 +48,10 @@ ALL_CONFIGS = [
     dict(syssolver="symindef", preprocess=False, reduce=False),
     dict(syssolver="naive", preprocess=False, reduce=False),
     dict(syssolver="naiveelim", preprocess=False, reduce=False),
+    dict(syssolver="naiveelim", preprocess=False, reduce=False,
+         naiveelim_inv_hess=False),
+    dict(syssolver="qrchol", schur_syrk=False),
+    dict(syssolver="qrchol", group_cones=False),
     # indirect solvers are tested at relaxed tolerances, like the
     # reference's inst_indirect set (`nativesets.jl:169-175`)
     dict(syssolver="symindef_indirect", preprocess=False, reduce=False,
