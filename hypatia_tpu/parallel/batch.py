@@ -254,3 +254,32 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
             "s": np.asarray(pt_b["s"][i]) / ti,
         })
     return results
+
+
+def _struct_key(model):
+    return (model.n, model.p, model.q,
+            tuple(c.struct_key() for c in model.cones))
+
+
+def solve_many(models, solver_options=None, mesh=None, iter_limit=250):
+    """Solve a heterogeneous list of models: bucket by structure (dims +
+    cone list) and run one batched solve per bucket, preserving input
+    order in the returned results.
+
+    The batched-instance mode requires structurally identical models
+    (`solve_batch`); real instance sets (e.g. CBLIB sweeps) mix
+    structures, so this is the driver-level analog of the reference's
+    sequential `run_instance_set` (`examples/Examples.jl:31-117`) with
+    device batching inside each structure class.
+    """
+    buckets = {}
+    for i, m in enumerate(models):
+        buckets.setdefault(_struct_key(m), []).append(i)
+    results = [None] * len(models)
+    for idxs in buckets.values():
+        res = solve_batch([models[i] for i in idxs],
+                          solver_options=solver_options, mesh=mesh,
+                          iter_limit=iter_limit)
+        for i, r in zip(idxs, res):
+            results[i] = r
+    return results

@@ -190,3 +190,18 @@ def test_sharded_single_model_matrix_cone():
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(sh.get_primal_obj(), ref.get_primal_obj(),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_solve_many_heterogeneous():
+    """solve_many buckets mixed-structure models and preserves order."""
+    from hypatia_tpu.parallel import solve_many
+
+    models = [_random_lp(0), _random_lp(1, m=4, n=9), _random_lp(2),
+              _random_lp(3, m=4, n=9)]
+    results = solve_many(models)
+    import scipy.optimize
+    for model, res in zip(models, results):
+        assert res["status"] == "Optimal", res
+        ref = scipy.optimize.linprog(model.c, A_eq=model.A, b_eq=model.b,
+                                     bounds=(0, None)).fun
+        assert abs(res["primal_obj"] - ref) < 1e-6 * (1 + abs(ref))
