@@ -23,11 +23,13 @@ def _random_pattern(side, rng, extra_frac=0.3):
     return np.asarray(rows), np.asarray(cols)
 
 
-def build(side: int = 5, use_completable: bool = False, seed: int = 1):
+def build(side: int = 5, use_completable: bool = False, seed: int = 1,
+          impl: str = "dense"):
     rng = np.random.default_rng(seed)
     rows, cols = _random_pattern(side, rng)
-    cone = cones.PosSemidefTriSparse(side, rows, cols,
-                                     use_dual=use_completable)
+    cone_cls = (cones.PosSemidefTriSparseSupernodal if impl == "supernodal"
+                else cones.PosSemidefTriSparse)
+    cone = cone_cls(side, rows, cols, use_dual=use_completable)
     dim = cone.dim
     # random symmetric A restricted to the pattern, svec-scaled coords
     avals = rng.standard_normal(dim)
@@ -42,6 +44,8 @@ def build(side: int = 5, use_completable: bool = False, seed: int = 1):
     return Model(c, A, b, G, h, [cone])
 
 
-MINIMAL = [dict(side=4), dict(side=4, use_completable=True)]
+MINIMAL = [dict(side=4), dict(side=4, use_completable=True),
+           dict(side=4, impl="supernodal"),
+           dict(side=4, use_completable=True, impl="supernodal")]
 FAST = [dict(side=15)]
 BENCH = [dict(side=100)]

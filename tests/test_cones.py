@@ -68,6 +68,10 @@ def oracle_cones():
         cones.PosSemidefTriSparse(3, [0, 1, 1, 2, 2], [0, 0, 1, 1, 2]),
         cones.PosSemidefTriSparse(3, [0, 1, 1, 2, 2], [0, 0, 1, 1, 2],
                                   is_complex=True),
+        cones.PosSemidefTriSparseSupernodal(
+            3, [0, 1, 1, 2, 2], [0, 0, 1, 1, 2]),
+        cones.PosSemidefTriSparseSupernodal(
+            3, [0, 1, 1, 2, 2], [0, 0, 1, 1, 2], is_complex=True),
     ]
 
 
