@@ -169,6 +169,48 @@ class BatchedCone(Cone):
         return self._flat(vals)
 
 
+def sort_perm_for_grouping(cones, cone_idxs):
+    """Permutation layer for NON-adjacent identical cones: a stable sort of
+    the cone list by first appearance of each structure key, so that
+    interleaved same-structure cones (common in CBLIB-style models:
+    exp, lin, exp, lin, ...) become adjacent and groupable.
+
+    Returns ``(order, perm_q)`` — the cone reordering and the induced
+    permutation of the q conic rows — or ``None`` when sorting would not
+    reduce the grouped cone count (already adjacent, or all distinct).
+    The solver applies ``perm_q`` to G/h (an equivalent model) and its
+    inverse to the z/s results; the line-search and proximity semantics
+    are order-invariant (conjunctions and max/sum reductions).
+    """
+    n = len(cones)
+    first = {}
+    keyed = []
+    for i, c in enumerate(cones):
+        k = c.struct_key()
+        if k not in first:
+            first[k] = len(first)
+        keyed.append((first[k], i))
+    order = [i for _, i in sorted(keyed)]
+    if order == list(range(n)):
+        return None
+
+    def n_groups(seq):
+        g, prev = 0, None
+        for i in seq:
+            k = cones[i].struct_key()
+            if k != prev:
+                g += 1
+                prev = k
+        return g
+
+    if n_groups(order) >= n_groups(range(n)):
+        return None
+    perm_q = np.concatenate([
+        np.arange(cone_idxs[i][0], cone_idxs[i][0] + cones[i].dim)
+        for i in order])
+    return order, perm_q
+
+
 def group_cones(cones, cone_idxs, min_group=2):
     """Merge adjacent runs of structurally-identical cones into
     BatchedCones. Returns (new_cones, new_cone_idxs). Only runs of length

@@ -324,14 +324,33 @@ class Solver:
         # group adjacent structurally-identical cones into vmapped
         # BatchedCones (SURVEY §7 "group cones by type"): program size and
         # sequential per-cone work stop scaling with the cone count
-        from hypatia_tpu.cones.batched import group_cones as _group_cones
+        from hypatia_tpu.cones.batched import (
+            group_cones as _group_cones,
+            sort_perm_for_grouping as _sort_perm,
+        )
+
+        # permutation layer: reorder NON-adjacent structurally-identical
+        # cones to be adjacent before grouping (G/h rows are permuted into
+        # an equivalent model; z/s are un-permuted at postprocess)
+        self._perm_q = None
+        s_cones = list(model.cones)
+        s_idxs = list(model.cone_idxs)
+        if self.group_cones and len(model.cones) > 2:
+            sp = _sort_perm(model.cones, model.cone_idxs)
+            if sp is not None:
+                order, perm_q = sp
+                self._perm_q = perm_q
+                s_cones = [model.cones[i] for i in order]
+                starts = np.concatenate(
+                    [[0], np.cumsum([c.dim for c in s_cones])[:-1]])
+                s_idxs = [(int(st), c.dim)
+                          for st, c in zip(starts, s_cones)]
 
         if self.group_cones:
-            g_cones, g_idxs = _group_cones(tuple(model.cones),
-                                           tuple(model.cone_idxs))
+            g_cones, g_idxs = _group_cones(tuple(s_cones), tuple(s_idxs))
         else:
-            g_cones = tuple(model.cones)
-            g_idxs = tuple(model.cone_idxs)
+            g_cones = tuple(s_cones)
+            g_idxs = tuple(s_idxs)
         ctx = StepContext(
             cones=g_cones,
             cone_idxs=g_idxs,
@@ -347,14 +366,19 @@ class Solver:
         )
         self.ctx = ctx
         dt = jnp.dtype(self.dtype)
+        if self._perm_q is not None:
+            G_s = np.asarray(model.G)[self._perm_q]
+            h_s = np.asarray(model.h)[self._perm_q]
+        else:
+            G_s, h_s = model.G, model.h
         data = {
             "c": jnp.asarray(model.c, dt), "A": jnp.asarray(model.A, dt),
-            "b": jnp.asarray(model.b, dt), "G": jnp.asarray(model.G, dt),
-            "h": jnp.asarray(model.h, dt),
+            "b": jnp.asarray(model.b, dt), "G": jnp.asarray(G_s, dt),
+            "h": jnp.asarray(h_s, dt),
         }
         if self.syssolver == "qrchol":
             if model.p > 0:
-                GQ = model.G @ pre.Ap_Q
+                GQ = G_s @ pre.Ap_Q
                 data["Ap_Q"] = jnp.asarray(pre.Ap_Q, dt)
                 data["Ap_R"] = jnp.asarray(pre.Ap_R, dt)
                 # explicit R^-1 (host, once per load): turns the two
@@ -388,7 +412,10 @@ class Solver:
 
         pt = {
             "x": jnp.asarray(pre.init_x, dt), "y": jnp.asarray(pre.init_y, dt),
-            "z": jnp.asarray(init_z, dt), "s": jnp.asarray(init_s, dt),
+            "z": jnp.asarray(init_z if self._perm_q is None
+                             else init_z[self._perm_q], dt),
+            "s": jnp.asarray(init_s if self._perm_q is None
+                             else init_s[self._perm_q], dt),
             "tau": jnp.ones((), dtype=ctx.dtype),
             "kap": jnp.ones((), dtype=ctx.dtype),
         }
@@ -527,6 +554,7 @@ class Solver:
         # finalize result
         t0 = time.time()
         point_np = {k: np.asarray(v) for k, v in pt.items()}
+        point_np = self._unpermute_point(point_np)
         process.postprocess(self.status, orig, model, pre, point_np,
                             self.result)
         timers["unproc"] = time.time() - t0
@@ -572,7 +600,7 @@ class Solver:
                 + model.obj_offset
 
         t0 = time.time()
-        point_np = jax.device_get(pt)
+        point_np = self._unpermute_point(jax.device_get(pt))
         process.postprocess(self.status, orig, model, pre, point_np,
                             self.result)
         timers["unproc"] = time.time() - t0
@@ -581,6 +609,18 @@ class Solver:
             print(f"status is {self.status} after {self.num_iters} "
                   f"iterations and {self.solve_time:.3f} seconds")
         return self
+
+    def _unpermute_point(self, point):
+        """Invert the cone-sorting row permutation on the z/s blocks
+        (x, y, tau, kap are unaffected by conic row reordering)."""
+        if getattr(self, "_perm_q", None) is None:
+            return point
+        inv = np.empty_like(self._perm_q)
+        inv[self._perm_q] = np.arange(len(self._perm_q))
+        point = dict(point)
+        point["z"] = np.asarray(point["z"])[inv]
+        point["s"] = np.asarray(point["s"])[inv]
+        return point
 
     def _check_convergence(self, tau, kap, mu, pobj_t, dobj_t, gap, feas,
                            convh):

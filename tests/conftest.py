@@ -19,3 +19,21 @@ except Exception:
     pass  # XLA_FLAGS fallback above covers older jax
 
 import hypatia_tpu  # noqa: E402,F401  (enables x64)
+
+
+import pytest  # noqa: E402
+
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _global_periodic_cache_clear():
+    """The XLA CPU client intermittently segfaults inside
+    backend_compile when one process has accumulated hundreds of compiled
+    programs (observed in xdist workers running many solver configs).
+    Dropping compiled state every few tests keeps each worker well under
+    the crash threshold; re-compiles are seconds on CPU."""
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % 10 == 0:
+        jax.clear_caches()
