@@ -1,0 +1,101 @@
+"""Scan-form banded PSD cone vs the dense and generic supernodal impls."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hypatia_tpu import cones
+from hypatia_tpu.cones.psdbanded import band_pattern
+
+
+@pytest.fixture(autouse=True)
+def _cache_clear():
+    yield
+    jax.clear_caches()
+
+
+def _interior(cone, rng):
+    side = cone.side
+    M = np.zeros((side, side))
+    for r, c in zip(cone.row_idxs, cone.col_idxs):
+        if r != c:
+            M[r, c] = M[c, r] = rng.standard_normal()
+    M += np.diag(np.abs(M).sum(axis=1) + 1.0 + rng.random(side))
+    out = []
+    rt2 = np.sqrt(2.0)
+    for r, c in zip(cone.row_idxs, cone.col_idxs):
+        out.append(M[r, c] * (1.0 if r == c else rt2))
+    return jnp.asarray(np.array(out))
+
+
+@pytest.mark.parametrize("side,band,block", [
+    (7, 1, None), (7, 2, 3), (12, 3, 4), (9, 2, None),
+    (8, 2, 4),   # side a multiple of block
+    (5, 4, 4),   # nearly dense band
+])
+def test_banded_matches_dense(side, band, block):
+    rows, cols = band_pattern(side, band)
+    dense = cones.PosSemidefTriSparse(side, rows, cols)
+    bnd = cones.PosSemidefTriBanded(side, band, block=block)
+    assert bnd.dim == dense.dim
+    rng = np.random.default_rng(side * 10 + band)
+    for _ in range(2):
+        s = _interior(dense, rng)
+        d = jnp.asarray(rng.standard_normal(dense.dim))
+        assert bool(dense.feas(s)) and bool(bnd.feas(s))
+        np.testing.assert_allclose(bnd.barrier(s), dense.barrier(s),
+                                   rtol=1e-11)
+        np.testing.assert_allclose(bnd.grad(s), dense.grad(s),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(bnd.hess_prod(s, d), dense.hess_prod(s, d),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(bnd.dder3(s, d), dense.dder3(s, d),
+                                   rtol=1e-7, atol=1e-8)
+        aux = bnd.point_aux(s)
+        np.testing.assert_allclose(aux["hess"] @ d, dense.hess_prod(s, d),
+                                   rtol=1e-8, atol=1e-9)
+
+
+def test_banded_infeasible():
+    bnd = cones.PosSemidefTriBanded(6, 2)
+    s = jnp.asarray(np.zeros(bnd.dim)).at[0].set(-1.0)
+    at = np.zeros(bnd.dim)
+    # diagonal entries are at the start of each row's run
+    for i, (r, c) in enumerate(zip(bnd.row_idxs, bnd.col_idxs)):
+        if r == c:
+            at[i] = 1.0
+    s = jnp.asarray(at).at[0].set(-1.0)
+    assert not bool(bnd.feas(s))
+
+
+def test_banded_program_size_constant():
+    """The scan form traces O(1) equations in side (the point of it)."""
+    sizes = []
+    for side in (12, 24):
+        bnd = cones.PosSemidefTriBanded(side, 2, block=4)
+        s = jnp.asarray(np.tile(1.0, bnd.dim))
+        jaxpr = jax.make_jaxpr(bnd.barrier)(s)
+        sizes.append(len(jaxpr.jaxpr.eqns))
+    assert sizes[0] == sizes[1]
+
+
+def test_banded_solve():
+    """nearest-banded-PSD solve matches the dense-impl objective."""
+    from hypatia_tpu import Model, solve
+
+    side, band = 8, 2
+    rows, cols = band_pattern(side, band)
+    rng = np.random.default_rng(5)
+    dense = cones.PosSemidefTriSparse(side, rows, cols)
+    bnd = cones.PosSemidefTriBanded(side, band, block=3)
+    avals = rng.standard_normal(dense.dim)
+    diag = (rows == cols).astype(float)
+    objs = []
+    for cone in (dense, bnd):
+        m = Model(-avals, diag[None, :], np.array([1.0]),
+                  -np.eye(cone.dim), np.zeros(cone.dim), [cone])
+        s = solve(m)
+        assert s.get_status() == "Optimal"
+        objs.append(s.get_primal_obj())
+    np.testing.assert_allclose(objs[1], objs[0], rtol=1e-6, atol=1e-7)
