@@ -268,3 +268,25 @@ class PosSemidefTriBanded(PosSemidefTriSparse):
             (fact["Ln"], fact["Lan"], Lpr_n, Lpr_a, sel["S"], Spr))
         On, Oa, _ = self._step3(fact, Tn2, Ta2)
         return self._chain_pack(jnp.concatenate([On, Oa], axis=1)) / 2
+
+    # -- line-search fast path: no Hessian materialization -------------------
+
+    def point_aux_light(self, s):
+        """Factorization + selected inverse + gradient only (see the
+        supernodal class); the inverse oracle runs as preconditioned CG on
+        the scan-form product recursion."""
+        fact = self._factor(s)
+        sel = self._selected_inverse(fact)
+        g = -self._chain_pack(
+            jnp.concatenate([sel["Znn"], sel["Zan"]], axis=1))
+        return {"fact": fact, "sel": sel, "grad": g}
+
+    def inv_hess_prod(self, s, arr, aux=None):
+        if aux is None:
+            aux = self.point_aux(s)
+        if "hess_chol" in aux:
+            return super().inv_hess_prod(s, arr, aux)
+        fact, sel = aux["fact"], aux["sel"]
+        return self._cg_inv_hess_prod(
+            lambda v: self._hess_apply(fact, sel, v),
+            self._hess_diag_from_grad(aux["grad"]), arr)

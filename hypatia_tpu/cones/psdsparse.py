@@ -172,3 +172,43 @@ class PosSemidefTriSparse(Cone):
         Y = Xinv @ D
         Z = Y @ Y @ Xinv  # X^-1 D X^-1 D X^-1
         return self._pack((Z + Z.conj().T) / 2)
+
+    # -- shared helpers for the matrix-free (CG) inverse oracle of the
+    #    structured subclasses (supernodal / banded) -------------------------
+
+    def _hess_diag_from_grad(self, g):
+        """Closed-form diagonal of the Hessian from the gradient (selected
+        inverse): H[p,p] = Z_aa Z_bb + Z_ab^2 for pattern entry p=(a,b)
+        (w_p^2-scaled; the p=q case of `denseimpl.jl:62-96`).  For complex
+        off-diagonals this uses the re/im component as the cross term —
+        exact in the real case, an SPD approximation (preconditioner
+        quality only) in the complex case."""
+        zv = -g
+        diag_slots = np.zeros(self.side, dtype=int)
+        diag_slots[self._rows[self._kinds == 0]] = \
+            np.nonzero(self._kinds == 0)[0]
+        zd = zv[diag_slots]
+        cross = zd[self._rows] * zd[self._cols]
+        half = jnp.asarray(0.5, dtype=zv.dtype)
+        offd = self._kinds != 0
+        dvals = jnp.where(offd, cross + half * zv * zv, zd[self._rows] ** 2)
+        return jnp.maximum(dvals, jnp.finfo(zv.dtype).tiny)
+
+    def _cg_inv_hess_prod(self, matvec, diag, arr):
+        """Jacobi-preconditioned CG solve of H x = arr using the
+        matrix-free Hessian product — the line-search inverse oracle of
+        the structured subclasses, which avoids materializing and
+        factoring the dim x dim Hessian per candidate."""
+        import jax.scipy.sparse.linalg as jssl
+
+        inv_d = 1.0 / diag
+
+        def solve_one(b):
+            x, _ = jssl.cg(matvec, b, M=lambda r: inv_d * r,
+                           tol=1e-12, atol=0.0,
+                           maxiter=min(2 * self.dim, 500))
+            return x
+
+        if arr.ndim == 1:
+            return solve_one(arr)
+        return jax.vmap(solve_one, in_axes=1, out_axes=1)(arr)

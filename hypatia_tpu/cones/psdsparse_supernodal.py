@@ -412,3 +412,29 @@ class PosSemidefTriSparseSupernodal(PosSemidefTriSparse):
 
         out, _ = self._hess_step3(fact, out)
         return self._svec_from_blocks(out) / 2
+
+    # -- line-search fast path: no Hessian materialization -------------------
+
+    def point_aux_light(self, s):
+        """Light aux for the batched line search: factorization + selected
+        inverse + gradient only.  The inverse oracle (proximity,
+        check_numerics) then runs as Jacobi-preconditioned CG on the
+        matrix-free product recursion instead of materializing and
+        factoring the dim x dim Hessian for every candidate."""
+        fact = self._factor(s)
+        sel = self._selected_inverse(fact)
+        S = self.symb
+        gblocks = [sel["Z"][k][:, :int(S.num_cols[k])]
+                   for k in range(S.num_super)]
+        g = -self._svec_from_blocks(gblocks)
+        return {"fact": fact, "sel": sel, "grad": g}
+
+    def inv_hess_prod(self, s, arr, aux=None):
+        if aux is None:
+            aux = self.point_aux(s)
+        if "hess_chol" in aux:
+            return super().inv_hess_prod(s, arr, aux)
+        fact, sel = aux["fact"], aux["sel"]
+        return self._cg_inv_hess_prod(
+            lambda v: self._hess_apply(fact, sel, v),
+            self._hess_diag_from_grad(aux["grad"]), arr)

@@ -99,3 +99,29 @@ def test_banded_solve():
         assert s.get_status() == "Optimal"
         objs.append(s.get_primal_obj())
     np.testing.assert_allclose(objs[1], objs[0], rtol=1e-6, atol=1e-7)
+
+
+def test_cg_inverse_matches_exact():
+    """Light-aux (matrix-free CG) inverse oracle matches the factored one."""
+    rng = np.random.default_rng(1)
+    side, band = 9, 2
+    bnd = cones.PosSemidefTriBanded(side, band, block=3)
+    rows, cols = band_pattern(side, band)
+    M = np.zeros((side, side))
+    for r, c in zip(rows, cols):
+        if r != c:
+            M[r, c] = M[c, r] = rng.standard_normal() * 0.4
+    M += np.diag(np.abs(M).sum(1) + 1.5)
+    rt2 = np.sqrt(2.0)
+    s = jnp.asarray(np.array([M[r, c] * (1 if r == c else rt2)
+                              for r, c in zip(rows, cols)]))
+    v = jnp.asarray(rng.standard_normal(bnd.dim))
+    aux_full = bnd.point_aux(s)
+    aux_light = bnd.point_aux_light(s)
+    assert "hess" not in aux_light
+    x_exact = bnd.inv_hess_prod(s, v, aux_full)
+    x_cg = bnd.inv_hess_prod(s, v, aux_light)
+    np.testing.assert_allclose(x_cg, x_exact, rtol=1e-8, atol=1e-10)
+    g = bnd.grad(s, aux_light)
+    assert float(bnd.get_proxsqr(s, -g, 1.0, aux_light)) < 1e-10
+    assert bool(bnd.check_numerics(s, -g, aux_light))
