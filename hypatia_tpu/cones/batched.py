@@ -183,10 +183,10 @@ def sort_perm_for_grouping(cones, cone_idxs):
     are order-invariant (conjunctions and max/sum reductions).
     """
     n = len(cones)
+    keys = [c.struct_key() for c in cones]
     first = {}
     keyed = []
-    for i, c in enumerate(cones):
-        k = c.struct_key()
+    for i, k in enumerate(keys):
         if k not in first:
             first[k] = len(first)
         keyed.append((first[k], i))
@@ -197,10 +197,9 @@ def sort_perm_for_grouping(cones, cone_idxs):
     def n_groups(seq):
         g, prev = 0, None
         for i in seq:
-            k = cones[i].struct_key()
-            if k != prev:
+            if keys[i] != prev:
                 g += 1
-                prev = k
+                prev = keys[i]
         return g
 
     if n_groups(order) >= n_groups(range(n)):

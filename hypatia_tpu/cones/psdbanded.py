@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from hypatia_tpu.cones.psdsparse import PosSemidefTriSparse
+from hypatia_tpu.cones.psdsparse import (PosSemidefTriSparse,
+                                         _StructuredPSDSparse)
 from hypatia_tpu.ops import linalg
 
 
@@ -47,13 +48,12 @@ def _symd(D):
 
 
 def _rdiv2(X, L):
-    """X @ (L L^T)^-1 for lower L (the step2/step3 right-sandwich)."""
-    Y = linalg.solve_tri(L, X.T, lower=True)
-    Y = linalg.solve_tri(L, Y, lower=True, trans=True)
-    return Y.T
+    """X @ (L L^T)^-1 for lower L — dispatched through cho_solve so the
+    blocked substitution kernels vectorize it under vmapped contexts."""
+    return linalg.cho_solve(L, X.T).T
 
 
-class PosSemidefTriBanded(PosSemidefTriSparse):
+class PosSemidefTriBanded(_StructuredPSDSparse):
     """Banded PSD cone; svec layout identical to ``PosSemidefTriSparse``
     over ``band_pattern(side, band)``."""
 
@@ -108,10 +108,11 @@ class PosSemidefTriBanded(PosSemidefTriSparse):
             D = _symd(Ak[:m]) - U
             B = Ak[m:]
             L = linalg.cholesky(D)
-            La = linalg.solve_tri(L, B.T, lower=True).T          # B L^-T
-            Lan = linalg.solve_tri(L, La.T, lower=True,
-                                   trans=True).T                 # B (LL^T)^-1
-            return La @ La.T, (L, Lan)
+            LaT = linalg.tri_solve(L, B.T)                  # La^T = L^-1 B^T
+            Lan = linalg.tri_solve(L, LaT, trans=True).T    # B (L L^T)^-1
+            # Gram-form update (exactly symmetric PSD — the gemm form
+            # Lan @ B^T loses ~cond*eps symmetry and stalls convergence)
+            return LaT.T @ LaT, (L, Lan)
 
         _, (Ln, Lan) = lax.scan(step, jnp.zeros((m, m), dtype=s.dtype), A)
         return {"Ln": Ln, "Lan": Lan}
@@ -200,36 +201,11 @@ class PosSemidefTriBanded(PosSemidefTriSparse):
         On, Oa, _ = self._step3(fact, Tn, Ta)
         return self._chain_pack(jnp.concatenate([On, Oa], axis=1))
 
-    # -- cone oracle API -----------------------------------------------------
+    # -- cone oracle API (shared protocol in _StructuredPSDSparse) ----------
 
-    def point_aux(self, s):
-        fact = self._factor(s)
-        sel = self._selected_inverse(fact)
-        g = -self._chain_pack(
+    def _pack_grad(self, sel):
+        return -self._chain_pack(
             jnp.concatenate([sel["Znn"], sel["Zan"]], axis=1))
-        H = jax.vmap(lambda e: self._hess_apply(fact, sel, e),
-                     in_axes=0, out_axes=1)(jnp.eye(self.dim, dtype=s.dtype))
-        H = (H + H.T) / 2
-        Lh, okh = linalg.cholesky_shifted(H)
-        return {"fact": fact, "sel": sel, "grad": g, "hess": H,
-                "hess_chol": Lh, "hess_chol_ok": okh,
-                "hess_inv": linalg.chol_inverse(Lh)}
-
-    def _get_aux(self, s, aux):
-        if aux is None or "fact" not in aux:
-            return self.point_aux(s)
-        return aux
-
-    def grad(self, s, aux=None):
-        return self._get_aux(s, aux)["grad"]
-
-    def hess_prod(self, s, arr, aux=None):
-        aux = self._get_aux(s, aux)
-        fact, sel = aux["fact"], aux["sel"]
-        if arr.ndim == 1:
-            return self._hess_apply(fact, sel, arr)
-        return jax.vmap(lambda v: self._hess_apply(fact, sel, v),
-                        in_axes=1, out_axes=1)(arr)
 
     def dder3(self, s, d, aux=None):
         """Linearized-inverse recursion (`cholmodimpl.jl:545-615`) in
@@ -254,7 +230,7 @@ class PosSemidefTriBanded(PosSemidefTriSparse):
             # transform from linearized factorization to linearized inverse
             Lprpr_a = Fan2 - 2 * (La_pr @ Dpr)
             Lprpr_a = _rdiv2(Lprpr_a, L)
-            D2 = linalg.solve_tri(L, Dpr, lower=True)
+            D2 = linalg.tri_solve(L, Dpr)
             Tn2 = -C + 2 * (D2.T @ D2)
             Tn2 = linalg.cho_solve(L, Tn2)
             Tn2 = _rdiv2(Tn2, L)
@@ -268,25 +244,3 @@ class PosSemidefTriBanded(PosSemidefTriSparse):
             (fact["Ln"], fact["Lan"], Lpr_n, Lpr_a, sel["S"], Spr))
         On, Oa, _ = self._step3(fact, Tn2, Ta2)
         return self._chain_pack(jnp.concatenate([On, Oa], axis=1)) / 2
-
-    # -- line-search fast path: no Hessian materialization -------------------
-
-    def point_aux_light(self, s):
-        """Factorization + selected inverse + gradient only (see the
-        supernodal class); the inverse oracle runs as preconditioned CG on
-        the scan-form product recursion."""
-        fact = self._factor(s)
-        sel = self._selected_inverse(fact)
-        g = -self._chain_pack(
-            jnp.concatenate([sel["Znn"], sel["Zan"]], axis=1))
-        return {"fact": fact, "sel": sel, "grad": g}
-
-    def inv_hess_prod(self, s, arr, aux=None):
-        if aux is None:
-            aux = self.point_aux(s)
-        if "hess_chol" in aux:
-            return super().inv_hess_prod(s, arr, aux)
-        fact, sel = aux["fact"], aux["sel"]
-        return self._cg_inv_hess_prod(
-            lambda v: self._hess_apply(fact, sel, v),
-            self._hess_diag_from_grad(aux["grad"]), arr)

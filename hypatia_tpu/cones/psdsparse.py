@@ -173,8 +173,78 @@ class PosSemidefTriSparse(Cone):
         Z = Y @ Y @ Xinv  # X^-1 D X^-1 D X^-1
         return self._pack((Z + Z.conj().T) / 2)
 
-    # -- shared helpers for the matrix-free (CG) inverse oracle of the
-    #    structured subclasses (supernodal / banded) -------------------------
+
+class _StructuredPSDSparse(PosSemidefTriSparse):
+    """Shared oracle protocol of the structured (supernodal / banded)
+    implementations.  Subclasses provide the structure-specific pieces:
+    ``_factor(s)``, ``_selected_inverse(fact)``, ``_hess_apply(fact, sel,
+    v)``, and ``_pack_grad(sel)``; this base hosts the aux-dict protocol,
+    the Hessian materialization by column probes (`cholmodimpl.jl:288-377`),
+    and the matrix-free CG inverse used by the line search."""
+
+    def _factor(self, s):
+        raise NotImplementedError
+
+    def _selected_inverse(self, fact):
+        raise NotImplementedError
+
+    def _hess_apply(self, fact, sel, v):
+        raise NotImplementedError
+
+    def _pack_grad(self, sel):
+        raise NotImplementedError
+
+    # -- aux protocol --------------------------------------------------------
+
+    def point_aux(self, s):
+        fact = self._factor(s)
+        sel = self._selected_inverse(fact)
+        g = self._pack_grad(sel)
+        H = jax.vmap(lambda e: self._hess_apply(fact, sel, e),
+                     in_axes=0, out_axes=1)(jnp.eye(self.dim, dtype=s.dtype))
+        H = (H + H.T) / 2
+        Lh, okh = linalg.cholesky_shifted(H)
+        return {"fact": fact, "sel": sel, "grad": g, "hess": H,
+                "hess_chol": Lh, "hess_chol_ok": okh,
+                "hess_inv": linalg.chol_inverse(Lh)}
+
+    def point_aux_light(self, s):
+        """Light aux for the batched line search: factorization + selected
+        inverse + gradient only.  The inverse oracle (proximity,
+        check_numerics) then runs as Jacobi-preconditioned CG on the
+        matrix-free product recursion instead of materializing and
+        factoring the dim x dim Hessian for every candidate."""
+        fact = self._factor(s)
+        sel = self._selected_inverse(fact)
+        return {"fact": fact, "sel": sel, "grad": self._pack_grad(sel)}
+
+    def _get_aux(self, s, aux):
+        if aux is None or "fact" not in aux:
+            return self.point_aux(s)
+        return aux
+
+    def grad(self, s, aux=None):
+        return self._get_aux(s, aux)["grad"]
+
+    def hess_prod(self, s, arr, aux=None):
+        aux = self._get_aux(s, aux)
+        fact, sel = aux["fact"], aux["sel"]
+        if arr.ndim == 1:
+            return self._hess_apply(fact, sel, arr)
+        return jax.vmap(lambda v: self._hess_apply(fact, sel, v),
+                        in_axes=1, out_axes=1)(arr)
+
+    def inv_hess_prod(self, s, arr, aux=None):
+        if aux is None:
+            aux = self.point_aux(s)
+        if "hess_chol" in aux:
+            return super().inv_hess_prod(s, arr, aux)
+        fact, sel = aux["fact"], aux["sel"]
+        return self._cg_inv_hess_prod(
+            lambda v: self._hess_apply(fact, sel, v),
+            self._hess_diag_from_grad(aux["grad"]), arr)
+
+    # -- matrix-free CG inverse ----------------------------------------------
 
     def _hess_diag_from_grad(self, g):
         """Closed-form diagonal of the Hessian from the gradient (selected
@@ -196,18 +266,27 @@ class PosSemidefTriSparse(Cone):
 
     def _cg_inv_hess_prod(self, matvec, diag, arr):
         """Jacobi-preconditioned CG solve of H x = arr using the
-        matrix-free Hessian product — the line-search inverse oracle of
-        the structured subclasses, which avoids materializing and
-        factoring the dim x dim Hessian per candidate."""
+        matrix-free Hessian product — the line-search inverse oracle,
+        which avoids materializing and factoring the dim x dim Hessian
+        per candidate.
+
+        Non-convergence is poisoned with NaN rather than returned
+        silently: a NaN proximity / check_numerics value makes the line
+        search REJECT the candidate — the same conservative semantics as
+        treating a shift-needing factorization as infeasible
+        (`Cone.point_aux_light`)."""
         import jax.scipy.sparse.linalg as jssl
 
         inv_d = 1.0 / diag
 
         def solve_one(b):
             x, _ = jssl.cg(matvec, b, M=lambda r: inv_d * r,
-                           tol=1e-12, atol=0.0,
-                           maxiter=min(2 * self.dim, 500))
-            return x
+                           tol=1e-10, atol=0.0,
+                           maxiter=min(10 * self.dim, 1000))
+            res = jnp.linalg.norm(b - matvec(x))
+            ok = res <= 1e-6 * (jnp.linalg.norm(b) +
+                                jnp.finfo(b.dtype).tiny)
+            return jnp.where(ok, x, jnp.full_like(x, jnp.nan))
 
         if arr.ndim == 1:
             return solve_one(arr)

@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hypatia_tpu.cones.psdsparse import PosSemidefTriSparse
+from hypatia_tpu.cones.psdsparse import (PosSemidefTriSparse,
+                                         _StructuredPSDSparse)
 from hypatia_tpu.ops import linalg
 from hypatia_tpu.ops.supernodal import SupernodalStructure
 
@@ -41,17 +42,13 @@ def _sym(M):
     return (M + M.conj().T) / 2
 
 
-def _rdiv_lower(X, L):
-    """X @ L^-1 (plain inverse, also for complex L)."""
-    return linalg.solve_tri(L.T, X.T, lower=False).T
+def _rdiv2(X, L):
+    """X @ (L L^H)^-1 — dispatched through cho_solve so the blocked
+    substitution kernels vectorize it under vmapped contexts."""
+    return linalg.cho_solve(L, X.conj().T).conj().T
 
 
-def _rdiv_lower_h(X, L):
-    """X @ L^-H."""
-    return linalg.solve_tri(L, X.conj().T, lower=True).conj().T
-
-
-class PosSemidefTriSparseSupernodal(PosSemidefTriSparse):
+class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
     """`PosSemidefTriSparse` with supernodal oracles (reference
     `PSDSparseCholmod` impl). Same cone, same svec layout; cost scales with
     the filled supernodal structure rather than the dense side."""
@@ -146,12 +143,12 @@ class PosSemidefTriSparseSupernodal(PosSemidefTriSparse):
 
         Returns per-supernode lower factors `Ln` (nn x nn), the *normalized*
         below blocks `Lan = L_a L_n^-1` (na x nn; the form the oracle
-        recursions use, `cholmodimpl.jl:262`), the raw `La`, and `ok`.
+        recursions use, `cholmodimpl.jl:262`), and `ok`.
         """
         S = self.symb
         A = self._blocks_from_svec(s)
         dt = A[0].dtype
-        Ln, La, Lan = [], [], []
+        Ln, Lan = [], []
         updates = [None] * S.num_super
         ok = jnp.asarray(True)
         for k in range(S.num_super):
@@ -170,14 +167,15 @@ class PosSemidefTriSparseSupernodal(PosSemidefTriSparse):
                 updates[c] = None
             Lnk = linalg.cholesky(F[:nn, :nn])
             ok = ok & linalg.chol_ok(Lnk)
-            Lak = linalg.solve_tri(Lnk, F[nn:, :nn].conj().T,
-                                   lower=True).conj().T
-            Lank = _rdiv_lower(Lak, Lnk)
-            updates[k] = F[nn:, nn:] - Lak @ Lak.conj().T
+            Fan = F[nn:, :nn]
+            LaH = linalg.tri_solve(Lnk, Fan.conj().T)   # La^H = L^-1 F_an^H
+            Lank = linalg.tri_solve(Lnk, LaH, trans=True).conj().T
+            # Gram-form update (exactly Hermitian PSD; the gemm form
+            # Lan @ F_an^H loses ~cond*eps symmetry and stalls convergence)
+            updates[k] = F[nn:, nn:] - LaH.conj().T @ LaH
             Ln.append(Lnk)
-            La.append(Lak)
             Lan.append(Lank)
-        return {"Ln": Ln, "La": La, "Lan": Lan, "ok": ok}
+        return {"Ln": Ln, "Lan": Lan, "ok": ok}
 
     def barrier(self, s):
         fact = self._factor(s)
@@ -280,8 +278,8 @@ class PosSemidefTriSparseSupernodal(PosSemidefTriSparse):
             Ta = temp[k][nn:, :]
             pr_n = Tn
             Tn = linalg.cho_solve(Lnk, Tn)
-            Tn = _rdiv_lower(_rdiv_lower_h(Tn, Lnk), Lnk)
-            Ta = _rdiv_lower(_rdiv_lower_h(Ta, Lnk), Lnk)
+            Tn = _rdiv2(Tn, Lnk)
+            Ta = _rdiv2(Ta, Lnk)
             if save_l_pr:
                 l_pr.append(jnp.concatenate([pr_n, Ta], axis=0))
             if Ta.shape[0]:
@@ -326,41 +324,13 @@ class PosSemidefTriSparseSupernodal(PosSemidefTriSparse):
         temp, _ = self._hess_step3(fact, temp)
         return self._svec_from_blocks(temp)
 
-    # -- cone oracle API -----------------------------------------------------
+    # -- cone oracle API (shared protocol in _StructuredPSDSparse) ----------
 
-    def point_aux(self, s):
-        fact = self._factor(s)
-        sel = self._selected_inverse(fact)
-        # gradient blocks = -(selected inverse)
+    def _pack_grad(self, sel):
         S = self.symb
         gblocks = [sel["Z"][k][:, :int(S.num_cols[k])]
                    for k in range(S.num_super)]
-        g = -self._svec_from_blocks(gblocks)
-        # materialize the Hessian by column probes (`update_hess`)
-        H = jax.vmap(lambda e: self._hess_apply(fact, sel, e),
-                     in_axes=0, out_axes=1)(jnp.eye(self.dim, dtype=s.dtype))
-        H = (H + H.T) / 2
-        Lh, okh = linalg.cholesky_shifted(H)
-        return {"fact": fact, "sel": sel, "grad": g, "hess": H,
-                "hess_chol": Lh, "hess_chol_ok": okh,
-                "hess_inv": linalg.chol_inverse(Lh)}
-
-    def _get_aux(self, s, aux):
-        if aux is None or "fact" not in aux:
-            return self.point_aux(s)
-        return aux
-
-    def grad(self, s, aux=None):
-        aux = self._get_aux(s, aux)
-        return aux["grad"]
-
-    def hess_prod(self, s, arr, aux=None):
-        aux = self._get_aux(s, aux)
-        fact, sel = aux["fact"], aux["sel"]
-        if arr.ndim == 1:
-            return self._hess_apply(fact, sel, arr)
-        return jax.vmap(lambda v: self._hess_apply(fact, sel, v),
-                        in_axes=1, out_axes=1)(arr)
+        return -self._svec_from_blocks(gblocks)
 
     def dder3(self, s, d, aux=None):
         """Third-order directional oracle via the linearized-inverse
@@ -395,12 +365,12 @@ class PosSemidefTriSparseSupernodal(PosSemidefTriSparse):
             # transform from linearized factorization to linearized inverse
             Lprpr = F[k][:, :nn]
             Lprpr_a = Lprpr[nn:] - 2 * (Lpr_a @ D_pr)
-            Lprpr_a = _rdiv_lower(_rdiv_lower_h(Lprpr_a, Lnk), Lnk)
+            Lprpr_a = _rdiv2(Lprpr_a, Lnk)
             Tn = -Lprpr[:nn]
-            D2 = linalg.solve_tri(Lnk, D_pr, lower=True)
+            D2 = linalg.tri_solve(Lnk, D_pr)
             Tn = Tn + 2 * (D2.conj().T @ D2)
             Tn = linalg.cho_solve(Lnk, Tn)
-            Tn = _rdiv_lower(_rdiv_lower_h(Tn, Lnk), Lnk)
+            Tn = _rdiv2(Tn, Lnk)
             if nj > nn:
                 Sk = sel["Zaa"][k]
                 t1 = Sk @ Lpr_a
@@ -412,29 +382,3 @@ class PosSemidefTriSparseSupernodal(PosSemidefTriSparse):
 
         out, _ = self._hess_step3(fact, out)
         return self._svec_from_blocks(out) / 2
-
-    # -- line-search fast path: no Hessian materialization -------------------
-
-    def point_aux_light(self, s):
-        """Light aux for the batched line search: factorization + selected
-        inverse + gradient only.  The inverse oracle (proximity,
-        check_numerics) then runs as Jacobi-preconditioned CG on the
-        matrix-free product recursion instead of materializing and
-        factoring the dim x dim Hessian for every candidate."""
-        fact = self._factor(s)
-        sel = self._selected_inverse(fact)
-        S = self.symb
-        gblocks = [sel["Z"][k][:, :int(S.num_cols[k])]
-                   for k in range(S.num_super)]
-        g = -self._svec_from_blocks(gblocks)
-        return {"fact": fact, "sel": sel, "grad": g}
-
-    def inv_hess_prod(self, s, arr, aux=None):
-        if aux is None:
-            aux = self.point_aux(s)
-        if "hess_chol" in aux:
-            return super().inv_hess_prod(s, arr, aux)
-        fact, sel = aux["fact"], aux["sel"]
-        return self._cg_inv_hess_prod(
-            lambda v: self._hess_apply(fact, sel, v),
-            self._hess_diag_from_grad(aux["grad"]), arr)

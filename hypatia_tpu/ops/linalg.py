@@ -163,6 +163,17 @@ def tri_inverse(L, lower=True):
     return solve_tri(L, eye, lower=lower)
 
 
+def tri_solve(L, B, trans=False):
+    """Dispatched lower-triangular solve (blocked substitution kernel
+    inside blocked scopes for real dtypes, XLA native otherwise)."""
+    if _use_blocked() and not jnp.iscomplexobj(L):
+        one_d = B.ndim == L.ndim - 1
+        Bm = B[..., None] if one_d else B
+        X = blocked.blocked_tri_solve(L, Bm, trans=trans)
+        return X[..., 0] if one_d else X
+    return solve_tri(L, B, lower=True, trans=trans)
+
+
 def cho_solve(L, B):
     """Solve A X = B given lower Cholesky factor L of A.
 

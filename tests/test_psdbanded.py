@@ -59,9 +59,8 @@ def test_banded_matches_dense(side, band, block):
 
 def test_banded_infeasible():
     bnd = cones.PosSemidefTriBanded(6, 2)
-    s = jnp.asarray(np.zeros(bnd.dim)).at[0].set(-1.0)
     at = np.zeros(bnd.dim)
-    # diagonal entries are at the start of each row's run
+    # identity matrix with the first diagonal entry negated
     for i, (r, c) in enumerate(zip(bnd.row_idxs, bnd.col_idxs)):
         if r == c:
             at[i] = 1.0
