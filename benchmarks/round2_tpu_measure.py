@@ -98,6 +98,44 @@ def main():
 
     record("batch32", run_batch())
 
+    # scan-form banded PSD cone: compile cost O(1) in side; the dense impl
+    # at this size would Cholesky/invert a 200x200 per oracle call
+    def run_banded(side=200, band=4, block=16):
+        import numpy as np
+        from hypatia_tpu import Model, Solver, cones
+        from hypatia_tpu.cones.psdbanded import band_pattern
+
+        rows, cols = band_pattern(side, band)
+        diag = (rows == cols).astype(float)
+
+        def one(seed):
+            rng = np.random.default_rng(seed)
+            cone = cones.PosSemidefTriBanded(side, band, block=block)
+            avals = rng.standard_normal(cone.dim)
+            m = Model(-avals, diag[None, :], np.array([1.0]),
+                      -np.eye(cone.dim), np.zeros(cone.dim), [cone])
+            s = Solver(fused=True, iter_limit=100, default_tol_relax=10)
+            s.load(m)
+            t0 = time.time()
+            s.solve()
+            return s, time.time() - t0
+
+        t0 = time.time()
+        one(0)  # compile
+        compile_s = time.time() - t0
+        s, wall = one(1)
+        st = s.timers.get("step", wall)
+        return dict(side=side, band=band, block=block,
+                    status=s.get_status(), iters=s.get_num_iters(),
+                    obj=float(s.get_primal_obj()),
+                    iters_per_s=round(s.get_num_iters() / max(st, 1e-9), 2),
+                    first_call_s=round(compile_s, 1))
+
+    try:
+        record("banded200", run_banded())
+    except Exception as e:  # noqa: BLE001
+        record("banded200", {"error": str(e)})
+
 
 if __name__ == "__main__":
     main()

@@ -24,12 +24,19 @@ def _random_pattern(side, rng, extra_frac=0.3):
 
 
 def build(side: int = 5, use_completable: bool = False, seed: int = 1,
-          impl: str = "dense"):
+          impl: str = "dense", band: int = 4, block: int = None):
     rng = np.random.default_rng(seed)
-    rows, cols = _random_pattern(side, rng)
-    cone_cls = (cones.PosSemidefTriSparseSupernodal if impl == "supernodal"
-                else cones.PosSemidefTriSparse)
-    cone = cone_cls(side, rows, cols, use_dual=use_completable)
+    if impl == "banded":
+        from hypatia_tpu.cones.psdbanded import band_pattern
+
+        rows, cols = band_pattern(side, band)
+        cone = cones.PosSemidefTriBanded(side, band, block=block,
+                                         use_dual=use_completable)
+    else:
+        rows, cols = _random_pattern(side, rng)
+        cone_cls = (cones.PosSemidefTriSparseSupernodal
+                    if impl == "supernodal" else cones.PosSemidefTriSparse)
+        cone = cone_cls(side, rows, cols, use_dual=use_completable)
     dim = cone.dim
     # random symmetric A restricted to the pattern, svec-scaled coords
     avals = rng.standard_normal(dim)
@@ -46,6 +53,7 @@ def build(side: int = 5, use_completable: bool = False, seed: int = 1,
 
 MINIMAL = [dict(side=4), dict(side=4, use_completable=True),
            dict(side=4, impl="supernodal"),
-           dict(side=4, use_completable=True, impl="supernodal")]
+           dict(side=4, use_completable=True, impl="supernodal"),
+           dict(side=5, impl="banded", band=2, block=2)]
 FAST = [dict(side=15)]
-BENCH = [dict(side=100)]
+BENCH = [dict(side=100), dict(side=200, impl="banded", band=4, block=16)]

@@ -28,6 +28,7 @@ from hypatia_tpu.cones.epitrrelentropy import EpiTrRelEntropyTri
 from hypatia_tpu.cones.psdsparse import PosSemidefTriSparse
 from hypatia_tpu.cones.psdsparse_supernodal import PosSemidefTriSparseSupernodal
 from hypatia_tpu.cones.psdbanded import PosSemidefTriBanded
+from hypatia_tpu.cones.psdarrow import PosSemidefTriArrow
 from hypatia_tpu.cones.sepspectral import (
     EpiPerSepSpectralVector,
     InvSSF,

@@ -30,6 +30,9 @@ def _cone_menu(rng):
         cones.PosSemidefTri(6),
         cones.HypoGeoMean(int(rng.integers(3, 5))),
         cones.EpiRelEntropy(5),
+        cones.PosSemidefTriSparseSupernodal(
+            4, [0, 1, 1, 2, 2, 3, 3], [0, 0, 1, 1, 2, 0, 3]),
+        cones.PosSemidefTriBanded(5, 1, block=2),
     ]
 
 
