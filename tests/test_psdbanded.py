@@ -178,3 +178,29 @@ def test_banded_grouped_pair():
     assert len(s1.ctx.cones) == 1  # grouped
     assert abs(s1.get_primal_obj() - s2.get_primal_obj()) \
         <= 1e-6 * (1 + abs(s2.get_primal_obj()))
+
+
+def test_banded_other_syssolvers():
+    """The structured cone works through the H-form KKT paths too (the
+    explicit-Hessian consumers: symindef, naiveelim H-form)."""
+    from hypatia_tpu import Model, Solver
+
+    side, band = 6, 2
+    rows, cols = band_pattern(side, band)
+    rng = np.random.default_rng(3)
+    avals = rng.standard_normal(len(rows))
+    diag = (rows == cols).astype(float)
+    objs = []
+    for kw in (dict(syssolver="qrchol"),
+               dict(syssolver="symindef", reduce=False),
+               dict(syssolver="naiveelim", reduce=False,
+                    naiveelim_inv_hess=False)):
+        cone = cones.PosSemidefTriBanded(side, band, block=3)
+        m = Model(-avals, diag[None, :], np.array([1.0]),
+                  -np.eye(cone.dim), np.zeros(cone.dim), [cone])
+        s = Solver(**kw)
+        s.load(m)
+        s.solve()
+        assert s.get_status() == "Optimal", (kw, s.get_status())
+        objs.append(s.get_primal_obj())
+    assert max(objs) - min(objs) <= 1e-6 * (1 + abs(objs[0]))
