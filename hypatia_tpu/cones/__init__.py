@@ -25,7 +25,8 @@ from hypatia_tpu.cones.wsos import (
 )
 from hypatia_tpu.cones.sepspectral_matrix import EpiPerSepSpectralMatrix
 from hypatia_tpu.cones.epitrrelentropy import EpiTrRelEntropyTri
-from hypatia_tpu.cones.psdsparse import PosSemidefTriSparse
+from hypatia_tpu.cones.psdsparse import (PosSemidefTriSparse,
+                                         structured_psd_sparse)
 from hypatia_tpu.cones.psdsparse_supernodal import PosSemidefTriSparseSupernodal
 from hypatia_tpu.cones.psdbanded import PosSemidefTriBanded
 from hypatia_tpu.cones.psdarrow import PosSemidefTriArrow

@@ -222,3 +222,23 @@ class PosSemidefTriArrow(_StructuredPSDSparse):
 
         Fnn, Fan, _ = self._step3(fact, Tn2, Ta2, Tn2_b)
         return self._pack(Fnn, Fan, Tn2_b) / 2
+
+
+def detect_arrow(side, row_idxs, col_idxs):
+    """Return (nblocks, bsize, border) if the pattern is exactly an
+    arrow_pattern, else None."""
+    rows = np.asarray(row_idxs)
+    cols = np.asarray(col_idxs)
+    if not np.any(rows != cols):
+        return None
+    # exact order match required (the svec layout is the entry order)
+    for border in range(1, side):
+        n0 = side - border
+        for bsize in range(1, n0 + 1):
+            if n0 % bsize:
+                continue
+            cand = arrow_pattern(n0 // bsize, bsize, border)
+            if np.array_equal(cand[0], rows) and np.array_equal(cand[1],
+                                                                cols):
+                return n0 // bsize, bsize, border
+    return None

@@ -291,3 +291,44 @@ class _StructuredPSDSparse(PosSemidefTriSparse):
         if arr.ndim == 1:
             return solve_one(arr)
         return jax.vmap(solve_one, in_axes=1, out_axes=1)(arr)
+
+
+def structured_psd_sparse(side, row_idxs, col_idxs, is_complex=False,
+                          use_dual=False, block=None):
+    """Pick the best sparse-PSD implementation for a pattern.
+
+    Banded patterns get the scan-form ``PosSemidefTriBanded``; exact arrow
+    patterns the vmapped ``PosSemidefTriArrow``; everything else the
+    generic supernodal implementation (or the dense implementation for
+    complex / tiny patterns).  The returned cone's svec layout matches the
+    entry order of the canonical pattern constructor used — callers that
+    need a specific entry order should construct the class directly.
+    """
+    from hypatia_tpu.cones.psdbanded import PosSemidefTriBanded, band_pattern
+    from hypatia_tpu.cones.psdarrow import PosSemidefTriArrow, detect_arrow
+
+    rows = np.asarray(row_idxs)
+    cols = np.asarray(col_idxs)
+    if side <= 8:
+        return PosSemidefTriSparse(side, rows, cols, is_complex=is_complex,
+                                   use_dual=use_dual)
+    if not is_complex:
+        # exact ORDER match required: the specialized classes define the
+        # svec layout by their canonical entry order, so substituting them
+        # for a permuted entry order would silently permute coordinates
+        band = int(np.max(rows - cols))
+        bp = band_pattern(side, band)
+        if np.array_equal(bp[0], rows) and np.array_equal(bp[1], cols):
+            return PosSemidefTriBanded(side, band, block=block,
+                                       use_dual=use_dual)
+        arrow = detect_arrow(side, rows, cols)
+        if arrow is not None:
+            return PosSemidefTriArrow(*arrow, use_dual=use_dual)
+        from hypatia_tpu.cones.psdsparse_supernodal import (
+            PosSemidefTriSparseSupernodal)
+        return PosSemidefTriSparseSupernodal(side, rows, cols,
+                                             use_dual=use_dual)
+    from hypatia_tpu.cones.psdsparse_supernodal import (
+        PosSemidefTriSparseSupernodal)
+    return PosSemidefTriSparseSupernodal(side, rows, cols, is_complex=True,
+                                         use_dual=use_dual)

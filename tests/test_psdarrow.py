@@ -83,3 +83,27 @@ def test_arrow_solve():
         assert s.get_status() == "Optimal"
         objs.append(s.get_primal_obj())
     np.testing.assert_allclose(objs[1], objs[0], rtol=1e-6, atol=1e-7)
+
+
+def test_structured_factory():
+    from hypatia_tpu.cones import structured_psd_sparse
+    from hypatia_tpu.cones.psdbanded import band_pattern
+
+    r, c = band_pattern(12, 2)
+    assert type(structured_psd_sparse(12, r, c)).__name__ == \
+        "PosSemidefTriBanded"
+    r, c = arrow_pattern(4, 2, 3)
+    assert type(structured_psd_sparse(11, r, c)).__name__ == \
+        "PosSemidefTriArrow"
+    # permuted entry order must NOT substitute a layout-changing class
+    perm = np.random.default_rng(0).permutation(len(r))
+    k = structured_psd_sparse(11, r[perm], c[perm])
+    assert type(k).__name__ == "PosSemidefTriSparseSupernodal"
+    # irregular pattern -> supernodal; tiny -> dense
+    rows = np.array(list(range(10)) + [5, 7, 9])
+    cols = np.array(list(range(10)) + [0, 2, 3])
+    assert type(structured_psd_sparse(10, rows, cols)).__name__ == \
+        "PosSemidefTriSparseSupernodal"
+    assert type(structured_psd_sparse(
+        4, [0, 1, 1, 2, 2, 3], [0, 0, 1, 1, 2, 3])).__name__ == \
+        "PosSemidefTriSparse"
