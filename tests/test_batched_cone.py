@@ -164,3 +164,37 @@ def test_sort_perm_groups_nonadjacent():
             v1 = getattr(s, "get_" + k)()
             v2 = getattr(ref, "get_" + k)()
             assert np.allclose(v1, v2, atol=1e-5), (name, k)
+
+
+def test_sort_perm_with_mesh():
+    """Sorting permutation layer composes with the mesh-sharded solve."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    rng = np.random.default_rng(0)
+    cl = [cones.Nonnegative(3), cones.HypoPerLog(3)] * 4  # q = 24
+    q = sum(c.dim for c in cl)
+    n = 6
+    G = rng.standard_normal((q, n))
+    h = np.concatenate([np.asarray(c.init_point()) for c in cl]) * 3 \
+        + rng.standard_normal(q) * 0.05
+    z0 = np.concatenate([-np.asarray(c.grad(jnp.asarray(
+        np.asarray(c.init_point())))) for c in cl])
+    c_obj = -G.T @ z0
+    A = rng.standard_normal((2, n))
+    m = Model(c_obj, A, np.zeros(2), G, h, cl)
+
+    mesh = Mesh(np.array(jax.devices()), ("q",))
+    s1 = Solver(mesh=mesh)
+    s1.load(m)
+    s1.solve()
+    s2 = Solver(group_cones=False)
+    s2.load(m)
+    s2.solve()
+    assert s1.get_status() == s2.get_status() == "Optimal"
+    assert len(s1.ctx.cones) == 2
+    for k in "xyzs":
+        assert np.allclose(getattr(s1, "get_" + k)(),
+                           getattr(s2, "get_" + k)(), atol=1e-5), k
