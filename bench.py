@@ -136,6 +136,9 @@ def main():
             "value": 0.0, "unit": "iters/s", "vs_baseline": 0.0,
             "error": "device unavailable (claim/compile probe failed)",
             "probe_diag": diag,
+            "note": "see BASELINE.md 'Measured (round 2)' for the last "
+                    "successful on-chip measurements (all five configs "
+                    "Optimal; linearopt 72.4 it/s)",
         }))
         return
 
