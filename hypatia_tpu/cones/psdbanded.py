@@ -1,15 +1,15 @@
 """Banded sparse-PSD cone with scan-form (block-tridiagonal) oracles.
 
 Same cone as ``PosSemidefTriSparse(side, banded pattern)`` — symmetric
-matrices with bandwidth ``band`` that are PSD — but the oracles process the
-matrix as a block-tridiagonal chain of ``block >= band`` columns per
-supernode, padded to uniform shape, and run as ``lax.scan`` loops whose
-compiled program size is O(1) in ``side`` (the generic supernodal
-implementation unrolls one dense block program per supernode; on TPU the
-remote compile of a side=1000 chain would dominate).  Each scan step is
-m x m Cholesky/solve/matmul work — MXU-sized when ``block`` is chosen
-~128 — with a single m x m carry (the multifrontal update matrix /
-selected-inverse boundary block).
+(or complex Hermitian) matrices with bandwidth ``band`` that are PSD — but
+the oracles process the matrix as a block-tridiagonal chain of
+``block >= band`` columns per supernode, padded to uniform shape, and run
+as ``lax.scan`` loops whose compiled program size is O(1) in ``side`` (the
+generic supernodal implementation unrolls one dense block program per
+supernode; on TPU the remote compile of a side=1000 chain would dominate).
+Each scan step is m x m Cholesky/solve/matmul work — MXU-sized when
+``block`` is chosen ~128 — with a single m x m carry (the multifrontal
+update matrix / selected-inverse boundary block).
 
 Math parity: the supernodal recursions of
 `src/Cones/possemideftrisparse/cholmodimpl.jl` specialized to a chain
@@ -17,9 +17,6 @@ elimination tree with relaxed (zero-padded) supernodes — padding the below
 structure to the full next block adds explicit zeros to the factor and
 changes no oracle value on the pattern.  Validated against the dense and
 generic supernodal implementations in ``tests/test_psdbanded.py``.
-
-Real symmetric only (complex Hermitian banded falls back to the generic
-implementations).
 """
 
 import numpy as np
@@ -43,23 +40,24 @@ def band_pattern(side, band):
 
 
 def _symd(D):
-    """Expand a lower-stored block to full symmetric."""
-    return D + D.T - jnp.diag(jnp.diagonal(D))
+    """Expand a lower-stored block to full symmetric/Hermitian."""
+    return D + D.conj().T - jnp.diag(jnp.diagonal(D))
 
 
 def _rdiv2(X, L):
-    """X @ (L L^T)^-1 for lower L — dispatched through cho_solve so the
+    """X @ (L L^H)^-1 for lower L — dispatched through cho_solve so the
     blocked substitution kernels vectorize it under vmapped contexts."""
-    return linalg.cho_solve(L, X.T).T
+    return linalg.cho_solve(L, X.conj().T).conj().T
 
 
 class PosSemidefTriBanded(_StructuredPSDSparse):
     """Banded PSD cone; svec layout identical to ``PosSemidefTriSparse``
     over ``band_pattern(side, band)``."""
 
-    def __init__(self, side, band, block=None, use_dual=False):
+    def __init__(self, side, band, block=None, is_complex=False,
+                 use_dual=False):
         rows, cols = band_pattern(side, band)
-        super().__init__(side, rows, cols, is_complex=False,
+        super().__init__(side, rows, cols, is_complex=is_complex,
                          use_dual=use_dual)
         self.band = int(band)
         m = int(block) if block is not None else max(int(band), 1)
@@ -73,6 +71,16 @@ class PosSemidefTriBanded(_StructuredPSDSparse):
         self._er = rows - eb * m
         self._ec = cols - eb * m
         assert np.all(self._er < 2 * m)
+        # entry -> svec slot (complex off-diagonals take two slots)
+        nent = len(rows)
+        ent_slot = np.zeros(nent, dtype=int)
+        slot = 0
+        for e in range(nent):
+            ent_slot[e] = slot
+            slot += 2 if (self.is_complex and rows[e] != cols[e]) else 1
+        assert slot == self.dim
+        self._ent_slot = ent_slot
+        self._ent_offd = rows != cols
         # phantom identity diagonal for the padded tail columns
         pad = np.zeros((self.nb, 2 * m, m))
         for d in range(side, self.side_pad):
@@ -86,17 +94,36 @@ class PosSemidefTriBanded(_StructuredPSDSparse):
 
     # -- svec <-> (nb, 2m, m) chain blocks ----------------------------------
 
+    def _entry_vals(self, v):
+        """Per-entry lower-triangle matrix values with svec scaling removed
+        (this repo's convention: lower M[r,c] = (re - i*im)/sqrt2)."""
+        w = jnp.asarray(self._w, dtype=v.dtype)
+        re = v[self._ent_slot]
+        if self.is_complex:
+            im = jnp.where(self._ent_offd, v[np.minimum(
+                self._ent_slot + 1, self.dim - 1)], 0.0)
+            return (re - 1j * im) * w
+        return re * w
+
     def _chain_blocks(self, v, pad=False):
-        vals = v * jnp.asarray(self._w, dtype=v.dtype)
-        A = jnp.zeros((self.nb, 2 * self.m, self.m), dtype=v.dtype)
+        vals = self._entry_vals(v)
+        A = jnp.zeros((self.nb, 2 * self.m, self.m), dtype=vals.dtype)
         A = A.at[self._eb, self._er, self._ec].set(vals)
         if pad:
-            A = A + jnp.asarray(self._pad, dtype=v.dtype)
+            A = A + jnp.asarray(self._pad, dtype=vals.dtype)
         return A
 
     def _chain_pack(self, T):
         vals = T[self._eb, self._er, self._ec]
-        return vals / jnp.asarray(self._w, dtype=T.dtype)
+        rdt = jnp.real(vals).dtype
+        w = jnp.asarray(self._w, dtype=rdt)
+        out = jnp.zeros(self.dim, dtype=rdt)
+        out = out.at[self._ent_slot].set(jnp.real(vals) / w)
+        if self.is_complex:
+            offd = self._ent_offd
+            out = out.at[self._ent_slot[offd] + 1].set(
+                -jnp.imag(vals)[offd] / w[offd])
+        return out
 
     # -- multifrontal Cholesky as a forward scan ----------------------------
 
@@ -108,23 +135,25 @@ class PosSemidefTriBanded(_StructuredPSDSparse):
             D = _symd(Ak[:m]) - U
             B = Ak[m:]
             L = linalg.cholesky(D)
-            LaT = linalg.tri_solve(L, B.T)                  # La^T = L^-1 B^T
-            Lan = linalg.tri_solve(L, LaT, trans=True).T    # B (L L^T)^-1
-            # Gram-form update (exactly symmetric PSD — the gemm form
-            # Lan @ B^T loses ~cond*eps symmetry and stalls convergence)
-            return LaT.T @ LaT, (L, Lan)
+            LaH = linalg.tri_solve(L, B.conj().T)       # La^H = L^-1 B^H
+            Lan = linalg.tri_solve(L, LaH, trans=True).conj().T
+            # Gram-form update (exactly Hermitian PSD — the gemm form
+            # Lan @ B^H loses ~cond*eps symmetry and stalls convergence)
+            return LaH.conj().T @ LaH, (L, Lan)
 
-        _, (Ln, Lan) = lax.scan(step, jnp.zeros((m, m), dtype=s.dtype), A)
+        _, (Ln, Lan) = lax.scan(step,
+                                jnp.zeros((m, m), dtype=A.dtype), A)
         return {"Ln": Ln, "Lan": Lan}
 
     def barrier(self, s):
         fact = self._factor(s)
-        d = jnp.diagonal(fact["Ln"], axis1=-2, axis2=-1)
+        d = jnp.real(jnp.diagonal(fact["Ln"], axis1=-2, axis2=-1))
         return -2 * jnp.sum(jnp.log(d))
 
     def feas(self, s):
         fact = self._factor(s)
-        return jnp.all(jnp.isfinite(fact["Ln"]))
+        return jnp.all(jnp.isfinite(jnp.real(fact["Ln"]))) & \
+            jnp.all(jnp.isfinite(jnp.imag(fact["Ln"])))
 
     # -- selected inverse (gradient) as a reverse scan ----------------------
 
@@ -133,7 +162,7 @@ class PosSemidefTriBanded(_StructuredPSDSparse):
 
         def step(Zaa, LLan):
             L, Lan = LLan
-            Znn = linalg.chol_inverse(L) + Lan.T @ Zaa @ Lan
+            Znn = linalg.chol_inverse(L) + Lan.conj().T @ Zaa @ Lan
             Zan = -Zaa @ Lan
             return Znn, (Znn, Zan)
 
@@ -156,7 +185,7 @@ class PosSemidefTriBanded(_StructuredPSDSparse):
             Fnn = _symd(Vk[:m]) + C
             Fan = Vk[m:]
             Fan2 = Fan - Lan @ Fnn
-            C2 = -(Lan @ Fan.T) - Fan2 @ Lan.T
+            C2 = -(Lan @ Fan.conj().T) - Fan2 @ Lan.conj().T
             return C2, (Fnn, Fan2)
 
         _, out = lax.scan(step, jnp.zeros((m, m), dtype=V.dtype),
@@ -185,7 +214,8 @@ class PosSemidefTriBanded(_StructuredPSDSparse):
         F_aa per block (dder3's S_pr)."""
         def step(P, xs):
             Tnk, Tak, Lan = xs
-            Fnn = Tnk - Tak.T @ Lan - Lan.T @ Tak + Lan.T @ P @ Lan
+            Fnn = (Tnk - Tak.conj().T @ Lan - Lan.conj().T @ Tak
+                   + Lan.conj().T @ P @ Lan)
             Fan = Tak - P @ Lan
             return Fnn, (Fnn, Fan, P)
 
@@ -224,23 +254,23 @@ class PosSemidefTriBanded(_StructuredPSDSparse):
             L, Lan, Dpr, La_pr, Sk, Sprk = xs
             # outer_L_prod on F = [C; 0; 0] then the -2 T T' update
             Fan2 = -(Lan @ C)
-            Faa = -(Fan2 @ Lan.T)
+            Faa = -(Fan2 @ Lan.conj().T)
             T = La_pr @ L
-            Faa = Faa - 2 * (T @ T.T)
+            Faa = Faa - 2 * (T @ T.conj().T)
             # transform from linearized factorization to linearized inverse
             Lprpr_a = Fan2 - 2 * (La_pr @ Dpr)
             Lprpr_a = _rdiv2(Lprpr_a, L)
             D2 = linalg.tri_solve(L, Dpr)
-            Tn2 = -C + 2 * (D2.T @ D2)
+            Tn2 = -C + 2 * (D2.conj().T @ D2)
             Tn2 = linalg.cho_solve(L, Tn2)
             Tn2 = _rdiv2(Tn2, L)
             t1 = Sk @ La_pr
-            Tn2 = Tn2 + 2 * (La_pr.T @ t1)
+            Tn2 = Tn2 + 2 * (La_pr.conj().T @ t1)
             Ta2 = 2 * (Sprk @ La_pr) - Sk @ Lprpr_a
             return Faa, (Tn2, Ta2)
 
         _, (Tn2, Ta2) = lax.scan(
-            phase2, jnp.zeros((m, m), dtype=d.dtype),
+            phase2, jnp.zeros((m, m), dtype=V.dtype),
             (fact["Ln"], fact["Lan"], Lpr_n, Lpr_a, sel["S"], Spr))
         On, Oa, _ = self._step3(fact, Tn2, Ta2)
         return self._chain_pack(jnp.concatenate([On, Oa], axis=1)) / 2

@@ -312,23 +312,20 @@ def structured_psd_sparse(side, row_idxs, col_idxs, is_complex=False,
     if side <= 8:
         return PosSemidefTriSparse(side, rows, cols, is_complex=is_complex,
                                    use_dual=use_dual)
-    if not is_complex:
-        # exact ORDER match required: the specialized classes define the
-        # svec layout by their canonical entry order, so substituting them
-        # for a permuted entry order would silently permute coordinates
-        band = int(np.max(rows - cols))
-        bp = band_pattern(side, band)
-        if np.array_equal(bp[0], rows) and np.array_equal(bp[1], cols):
-            return PosSemidefTriBanded(side, band, block=block,
-                                       use_dual=use_dual)
-        arrow = detect_arrow(side, rows, cols)
-        if arrow is not None:
-            return PosSemidefTriArrow(*arrow, use_dual=use_dual)
-        from hypatia_tpu.cones.psdsparse_supernodal import (
-            PosSemidefTriSparseSupernodal)
-        return PosSemidefTriSparseSupernodal(side, rows, cols,
-                                             use_dual=use_dual)
+    # exact ORDER match required: the specialized classes define the
+    # svec layout by their canonical entry order, so substituting them
+    # for a permuted entry order would silently permute coordinates
+    band = int(np.max(rows - cols))
+    bp = band_pattern(side, band)
+    if np.array_equal(bp[0], rows) and np.array_equal(bp[1], cols):
+        return PosSemidefTriBanded(side, band, block=block,
+                                   is_complex=is_complex, use_dual=use_dual)
+    arrow = detect_arrow(side, rows, cols)
+    if arrow is not None:
+        return PosSemidefTriArrow(*arrow, is_complex=is_complex,
+                                  use_dual=use_dual)
     from hypatia_tpu.cones.psdsparse_supernodal import (
         PosSemidefTriSparseSupernodal)
-    return PosSemidefTriSparseSupernodal(side, rows, cols, is_complex=True,
+    return PosSemidefTriSparseSupernodal(side, rows, cols,
+                                         is_complex=is_complex,
                                          use_dual=use_dual)

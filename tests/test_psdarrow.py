@@ -107,3 +107,43 @@ def test_structured_factory():
     assert type(structured_psd_sparse(
         4, [0, 1, 1, 2, 2, 3], [0, 0, 1, 1, 2, 3])).__name__ == \
         "PosSemidefTriSparse"
+
+
+def _interior_c(cone, rng):
+    side = cone.side
+    M = np.zeros((side, side), dtype=complex)
+    for r, c in zip(cone.row_idxs, cone.col_idxs):
+        if r != c:
+            v = (rng.standard_normal() + 1j * rng.standard_normal()) * 0.4
+            M[r, c] = v
+            M[c, r] = np.conj(v)
+    M += np.diag(np.abs(M).sum(axis=1).real + 1.0 + rng.random(side))
+    out = []
+    rt2 = np.sqrt(2.0)
+    for r, c in zip(cone.row_idxs, cone.col_idxs):
+        if r == c:
+            out.append(M[r, c].real)
+        else:
+            out.append(M[r, c].real * rt2)
+            out.append(-M[r, c].imag * rt2)
+    return jnp.asarray(np.array(out))
+
+
+@pytest.mark.parametrize("K,b,m", [(3, 2, 2), (2, 1, 3)])
+def test_arrow_complex_matches_dense(K, b, m):
+    rows, cols = arrow_pattern(K, b, m)
+    side = K * b + m
+    dense = cones.PosSemidefTriSparse(side, rows, cols, is_complex=True)
+    arw = cones.PosSemidefTriArrow(K, b, m, is_complex=True)
+    assert arw.dim == dense.dim
+    rng = np.random.default_rng(K + b + m)
+    s = _interior_c(dense, rng)
+    d = jnp.asarray(rng.standard_normal(dense.dim))
+    assert bool(dense.feas(s)) and bool(arw.feas(s))
+    np.testing.assert_allclose(arw.barrier(s), dense.barrier(s), rtol=1e-11)
+    np.testing.assert_allclose(arw.grad(s), dense.grad(s),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(arw.hess_prod(s, d), dense.hess_prod(s, d),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(arw.dder3(s, d), dense.dder3(s, d),
+                               rtol=1e-7, atol=1e-8)

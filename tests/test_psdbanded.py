@@ -204,3 +204,43 @@ def test_banded_other_syssolvers():
         assert s.get_status() == "Optimal", (kw, s.get_status())
         objs.append(s.get_primal_obj())
     assert max(objs) - min(objs) <= 1e-6 * (1 + abs(objs[0]))
+
+
+def _interior_c(cone, rng):
+    side = cone.side
+    M = np.zeros((side, side), dtype=complex)
+    for r, c in zip(cone.row_idxs, cone.col_idxs):
+        if r != c:
+            v = rng.standard_normal() + 1j * rng.standard_normal()
+            M[r, c] = v
+            M[c, r] = np.conj(v)
+    M += np.diag(np.abs(M).sum(axis=1).real + 1.0 + rng.random(side))
+    out = []
+    rt2 = np.sqrt(2.0)
+    for r, c in zip(cone.row_idxs, cone.col_idxs):
+        if r == c:
+            out.append(M[r, c].real)
+        else:
+            out.append(M[r, c].real * rt2)
+            out.append(-M[r, c].imag * rt2)
+    return jnp.asarray(np.array(out))
+
+
+@pytest.mark.parametrize("side,band,block", [(7, 2, 3), (9, 1, None)])
+def test_banded_complex_matches_dense(side, band, block):
+    rows, cols = band_pattern(side, band)
+    dense = cones.PosSemidefTriSparse(side, rows, cols, is_complex=True)
+    bnd = cones.PosSemidefTriBanded(side, band, block=block,
+                                    is_complex=True)
+    assert bnd.dim == dense.dim
+    rng = np.random.default_rng(side + band)
+    s = _interior_c(dense, rng)
+    d = jnp.asarray(rng.standard_normal(dense.dim))
+    assert bool(dense.feas(s)) and bool(bnd.feas(s))
+    np.testing.assert_allclose(bnd.barrier(s), dense.barrier(s), rtol=1e-11)
+    np.testing.assert_allclose(bnd.grad(s), dense.grad(s),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(bnd.hess_prod(s, d), dense.hess_prod(s, d),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(bnd.dder3(s, d), dense.dder3(s, d),
+                               rtol=1e-7, atol=1e-8)
