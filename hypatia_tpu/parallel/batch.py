@@ -177,7 +177,12 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         status = jnp.where(out["status"] == 0, 6, out["status"])
         return out["pt"], status, out["it"]
 
-    chunk = 16
+    import os
+
+    # scan-chunk length: iterations per device call in the host-driven
+    # loop. Larger chunks amortize the ~30 ms program-dispatch floor but
+    # overshoot more iterations after every instance has terminated.
+    chunk = int(os.environ.get("HYPATIA_TPU_BATCH_CHUNK", "16") or 16)
 
     @jax.jit
     def chunk_step_all(data_b, carry):
@@ -214,8 +219,6 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     # factorizations in the vmapped body it is worth attempting again —
     # opt in via HYPATIA_TPU_BATCH_FUSED=1, falling back to the chunked
     # host loop on compile failure.
-    import os
-
     fused_env = os.environ.get("HYPATIA_TPU_BATCH_FUSED", "")
     try_fused = (jax.default_backend() == "cpu"
                  or fused_env.lower() not in ("", "0", "false"))
