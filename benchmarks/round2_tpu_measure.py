@@ -14,7 +14,10 @@ cache. Designed to be restartable: each stage appends as it completes.
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

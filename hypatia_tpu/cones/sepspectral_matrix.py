@@ -263,16 +263,16 @@ class EpiPerSepSpectralMatrix(Cone):
         hX_svec_rot = hX_svec_rot.at[self._diag_idxs()].set(h1)
         R = aux["R"]
         grad_zeta = jnp.concatenate([
-            jnp.ones(1), (-sigma)[None], -(R.T @ hX_svec_rot)])
+            jnp.ones(1, dtype=sigma.dtype), (-sigma)[None], -(R.T @ hX_svec_rot)])
         # D2 zeta[d] = (0, -D2xi[d])
         d2xi_v = -D2T_EX
         d2xi_w = self._svec(Q @ D2T_E_mat @ Q.conj().T)
-        D2zeta_d = jnp.concatenate([jnp.zeros(1), (-d2xi_v)[None], -d2xi_w])
+        D2zeta_d = jnp.concatenate([jnp.zeros(1, dtype=d2xi_v.dtype), (-d2xi_v)[None], -d2xi_w])
         # D3 xi[d,d] vector over (v, w)
         d3xi_v = -D2T_EE - D3T_EEX + (2 * dv / v) * D2T_EX
         d3xi_w_mat = D3T_EE_mat - (2 * dv / v) * D2T_E_mat
         d3xi_w = self._svec(Q @ d3xi_w_mat @ Q.conj().T)
-        D3zeta_dd = jnp.concatenate([jnp.zeros(1), (-d3xi_v)[None], -d3xi_w])
+        D3zeta_dd = jnp.concatenate([jnp.zeros(1, dtype=d3xi_v.dtype), (-d3xi_v)[None], -d3xi_w])
 
         V = (-D3zeta_dd / zeta
              + (zeta_dd * grad_zeta + 2 * zeta_d * D2zeta_d) / zeta**2
@@ -283,6 +283,6 @@ class EpiPerSepSpectralMatrix(Cone):
         WiDw = (Wi_rot[:, None]) * Dwt                 # W^-1 Dw in basis
         WiDwWiDwWi = WiDw @ WiDw * Wi_rot[None, :]
         P_w = -2 * self._svec(Q @ WiDwWiDwWi @ Q.conj().T)
-        P = jnp.concatenate([jnp.zeros(1), (-2 * dv**2 / v**3)[None], P_w])
+        P = jnp.concatenate([jnp.zeros(1, dtype=P_w.dtype), (-2 * dv**2 / v**3)[None], P_w])
 
         return -0.5 * (V + P)

@@ -24,6 +24,16 @@ from hypatia_tpu.ops import linalg
 from hypatia_tpu.ops.svec import svec_length, _svec_indices
 
 
+
+def _P_as(P, like):
+    """Interpolation matrix P in the point's precision: cone params are
+    stored as f64/c128 numpy, but the solver is dtype-generic (f32 solves
+    pass f32 points; mixing would silently promote every oracle to f64)."""
+    dt = jnp.asarray(like).dtype
+    if np.iscomplexobj(P):
+        dt = jnp.complex64 if dt == jnp.float32 else jnp.complex128
+    return jnp.asarray(P, dtype=dt)
+
 class WSOSInterpNonnegative(Cone):
     def __init__(self, U: int, Ps, use_dual: bool = False):
         Ps = [np.asarray(P) for P in Ps]
@@ -46,7 +56,7 @@ class WSOSInterpNonnegative(Cone):
         return np.ones(self.dim)
 
     def _lambdas(self, s):
-        return [jnp.asarray(P).conj().T @ (s[:, None] * jnp.asarray(P))
+        return [_P_as(P, s).conj().T @ (s[:, None] * _P_as(P, s))
                 for P in self.Ps]
 
     def barrier(self, s):
@@ -69,7 +79,7 @@ class WSOSInterpNonnegative(Cone):
         Ls = []
         LFPs = []
         for P in self.Ps:
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, s)
             lam = Pj.conj().T @ (s[:, None] * Pj)
             L = linalg.cholesky(lam)
             LFP = linalg.solve_tri(L, Pj.conj().T, lower=True)  # (Lk, U)
@@ -220,7 +230,7 @@ class WSOSInterpPosSemidefTri(Cone):
     def barrier(self, s):
         out = 0.0
         for P in self.Ps:
-            lam = self._lambda_big(s, jnp.asarray(P))
+            lam = self._lambda_big(s, _P_as(P, s))
             Lc = linalg.cholesky(lam)
             out -= 2 * jnp.sum(jnp.log(jnp.diagonal(Lc)))
         return out
@@ -228,7 +238,7 @@ class WSOSInterpPosSemidefTri(Cone):
     def feas(self, s):
         ok = jnp.asarray(True)
         for P in self.Ps:
-            lam = self._lambda_big(s, jnp.asarray(P))
+            lam = self._lambda_big(s, _P_as(P, s))
             Lc = linalg.cholesky(lam)
             ok = ok & jnp.all(jnp.isfinite(Lc))
         return ok
@@ -262,7 +272,7 @@ class WSOSInterpPosSemidefTri(Cone):
         Ss, Qts, Lcs = [], [], []
         ok = jnp.asarray(True)
         for P in self.Ps:
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, s)
             lam = self._lambda_big(s, Pj)
             Lc = linalg.cholesky(lam)
             ok = ok & jnp.all(jnp.isfinite(Lc))
@@ -343,7 +353,7 @@ class WSOSInterpPosSemidefTri(Cone):
         blocks, scales = self._blocks(), self._scales()
         out = jnp.zeros(self.dim, dtype=s.dtype)
         for P, S in zip(self.Ps, aux["Ss"]):
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, d)
             L = Pj.shape[1]
             D = self._lambda_big(d, Pj)
             M = S @ D @ S @ D @ S
@@ -392,7 +402,7 @@ class WSOSInterpEpiNormEucl(Cone):
     def barrier(self, s):
         out = 0.0
         for P in self.Ps:
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, s)
             lams = self._lams(s, Pj)
             L11 = linalg.cholesky(lams[0])
             schur = lams[0]
@@ -407,7 +417,7 @@ class WSOSInterpEpiNormEucl(Cone):
     def feas(self, s):
         ok = jnp.asarray(True)
         for P in self.Ps:
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, s)
             lams = self._lams(s, Pj)
             L11 = linalg.cholesky(lams[0])
             ok = ok & jnp.all(jnp.isfinite(L11))
@@ -455,7 +465,7 @@ class WSOSInterpEpiNormEucl(Cone):
     def point_aux(self, s):
         Ss, Qts, S11s, q11s = [], [], [], []
         for P in self.Ps:
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, s)
             lams = self._lams(s, Pj)
             Arr = self._arrow(lams)
             La = linalg.cholesky(Arr)
@@ -537,7 +547,7 @@ class WSOSInterpEpiNormEucl(Cone):
         U = self.U
         out = jnp.zeros(self.dim, dtype=s.dtype)
         for P, S, S11 in zip(self.Ps, aux["Ss"], aux["S11s"]):
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, d)
             L = Pj.shape[1]
             dlams = self._lams(d, Pj)
             D = self._arrow(dlams)
@@ -586,7 +596,7 @@ class WSOSInterpEpiNormOne(Cone):
     def barrier(self, s):
         out = 0.0
         for P in self.Ps:
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, s)
             lams = self._lams(s, Pj)
             L11 = linalg.cholesky(lams[0])
             out -= 2 * jnp.sum(jnp.log(jnp.diagonal(L11)))
@@ -600,7 +610,7 @@ class WSOSInterpEpiNormOne(Cone):
     def feas(self, s):
         ok = jnp.asarray(True)
         for P in self.Ps:
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, s)
             lams = self._lams(s, Pj)
             L11 = linalg.cholesky(lams[0])
             ok = ok & jnp.all(jnp.isfinite(L11))
@@ -640,7 +650,7 @@ class WSOSInterpEpiNormOne(Cone):
     def point_aux(self, s):
         Srs, Qtrs, S11s, q11s = [], [], [], []
         for P in self.Ps:
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, s)
             lams = self._lams(s, Pj)
             eye2 = jnp.eye(2 * lams[0].shape[0], dtype=lams[0].dtype)
             eye1 = jnp.eye(lams[0].shape[0], dtype=lams[0].dtype)
@@ -729,7 +739,7 @@ class WSOSInterpEpiNormOne(Cone):
         c = self.R - 2
         out = jnp.zeros(self.dim, dtype=s.dtype)
         for P, Sr_k, S11 in zip(self.Ps, aux["Srs"], aux["S11s"]):
-            Pj = jnp.asarray(P)
+            Pj = _P_as(P, d)
             L = Pj.shape[1]
             dlams = self._lams(d, Pj)
             m11 = S11 @ dlams[0] @ S11 @ dlams[0] @ S11
