@@ -64,9 +64,11 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         **ref_solver.stepper_opts,
     )
 
-    # stack data
+    # stack data (host numpy until the sharded device_put below: in
+    # multi-process runs a committed single-device array cannot be
+    # re-put onto a global sharding, a host array can)
     def stack(key):
-        return jnp.asarray(np.stack([getattr(m, key) for m in models]))
+        return np.stack([np.asarray(getattr(m, key)) for m in models])
 
     data_b = {k: stack(k) for k in ("c", "A", "b", "G", "h")}
     if syssolver == "qrchol":
@@ -81,13 +83,13 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
                 Rs.append(R[:m0.p, :m0.p])
                 GQ1s.append(GQ[:, :m0.p])
                 GQ2s.append(GQ[:, m0.p:])
-            data_b["Ap_Q"] = jnp.asarray(np.stack(Qs))
-            data_b["Ap_R"] = jnp.asarray(np.stack(Rs))
-            data_b["Ap_Rinv"] = jnp.asarray(np.stack([
+            data_b["Ap_Q"] = np.stack(Qs)
+            data_b["Ap_R"] = np.stack(Rs)
+            data_b["Ap_Rinv"] = np.stack([
                 scipy.linalg.solve_triangular(
-                    R, np.eye(R.shape[0]), lower=False) for R in Rs]))
-            data_b["GQ1"] = jnp.asarray(np.stack(GQ1s))
-            data_b["GQ2"] = jnp.asarray(np.stack(GQ2s))
+                    R, np.eye(R.shape[0]), lower=False) for R in Rs])
+            data_b["GQ1"] = np.stack(GQ1s)
+            data_b["GQ2"] = np.stack(GQ2s)
         else:
             data_b["GQ2"] = data_b["G"]
 
@@ -96,7 +98,14 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     init_s = np.zeros((nb, m0.q))
     for cone, (start, dim) in zip(m0.cones, m0.cone_idxs):
         pt0 = np.asarray(cone.init_point())
-        with jax.default_device(jax.devices("cpu")[0]):
+        # local CPU device: keep the tiny cone-oracle evals on host, and in
+        # multi-process runs jax.devices() is the GLOBAL list (element 0
+        # may belong to another process)
+        try:
+            _host = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            _host = jax.local_devices()[0]
+        with jax.default_device(_host):
             g0 = np.asarray(cone.grad(jnp.asarray(pt0)))
         if cone.use_dual:
             init_z[:, start:start + dim] = pt0
@@ -116,18 +125,32 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
             init_y[i], *_ = np.linalg.lstsq(m.A.T, rhs_y, rcond=None)
 
     pt_b = {
-        "x": jnp.asarray(init_x), "y": jnp.asarray(init_y),
-        "z": jnp.asarray(init_z), "s": jnp.asarray(init_s),
-        "tau": jnp.ones(nb), "kap": jnp.ones(nb),
+        "x": init_x, "y": init_y, "z": init_z, "s": init_s,
+        "tau": np.ones(nb), "kap": np.ones(nb),
     }
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-        put = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, shard), t)
-        data_b, pt_b = put(data_b), put(pt_b)
+        from hypatia_tpu.parallel import multihost
+
+        # batch axis over ALL mesh axes (on a hybrid (hosts, devices) mesh
+        # the batch rides DCN between hosts and ICI within; pure data
+        # parallelism either way). Works identically for single-process
+        # meshes and multi-controller global meshes. If nb doesn't divide
+        # the full mesh, fall back to the leading axes that do.
+        axes = tuple(mesh.axis_names)
+        while axes:
+            total = int(np.prod([mesh.shape[a] for a in axes]))
+            if nb % total == 0:
+                break
+            axes = axes[:-1]
+        shard = NamedSharding(mesh, P(axes if axes else None))
+        data_b = multihost.global_put(data_b, shard)
+        pt_b = multihost.global_put(pt_b, shard)
+    else:
+        data_b = {k: jnp.asarray(v) for k, v in data_b.items()}
+        pt_b = {k: jnp.asarray(v) for k, v in pt_b.items()}
 
     conv_tols = {
         "x": 1.0 / (1.0 + max(np.max(np.abs(m.c), initial=0.0)
@@ -201,6 +224,11 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
 
             return jax.lax.scan(sbody, carry, None, length=chunk)[0]
 
+    # jitted so the reduction works on multi-process global arrays too
+    # (eager ops on non-fully-addressable arrays are an error; a jitted
+    # reduction produces a replicated, addressable scalar)
+    any_active = jax.jit(lambda st: jnp.any(st == 0))
+
     def hostloop():
         # host-driven loop over scan chunks; one device call per `chunk`
         # iterations, host checks termination between chunks
@@ -208,7 +236,7 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
             lambda p: fused.init_carry(ctx, p)))(pt_b)
         for _ in range(0, iter_limit, chunk):
             carry = chunk_step_all(data_b, carry)
-            if not bool(jnp.any(carry["status"] == 0)):
+            if not bool(any_active(carry["status"])):
                 break
         status = jnp.where(carry["status"] == 0, 6, carry["status"])
         return carry["pt"], status, carry["it"]
@@ -229,13 +257,17 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
             pt_b, status_b, iters_b = hostloop()
     else:
         pt_b, status_b, iters_b = hostloop()
-    status_b = np.asarray(status_b)
-    iters = np.asarray(iters_b)
-    statuses = [fused.STATUS_CODES.get(int(code), "UnknownStatus")
-                for code in status_b]
 
     conv = jax.jit(jax.vmap(
         lambda d, p: calc_convergence(ctx, d, conv_tols, p)))(data_b, pt_b)
+
+    # fetch to host (multi-process: allgather the non-addressable shards)
+    from hypatia_tpu.parallel import multihost
+
+    pt_b, status_b, iters, conv = multihost.allgather_to_host(
+        (pt_b, status_b, iters_b, conv))
+    statuses = [fused.STATUS_CODES.get(int(code), "UnknownStatus")
+                for code in status_b]
     tau = np.asarray(conv["tau"])
     results = []
     for i in range(nb):
