@@ -327,9 +327,37 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz,
             return jnp.concatenate([ox, oy, oz])
 
         rhs = jnp.concatenate([rx, ry, rz])
-        sol, _ = jax.scipy.sparse.linalg.gmres(
-            matvec, rhs, tol=1e-12, atol=0.0, maxiter=40,
-            restart=min(rhs.shape[0], 80), solve_method="batched")
+        restart = min(rhs.shape[0], 80)
+
+        def one_cycle(x0):
+            sol, _ = jax.scipy.sparse.linalg.gmres(
+                matvec, rhs, x0=x0, tol=1e-12, atol=0.0, maxiter=40,
+                restart=restart, solve_method="batched")
+            return sol
+
+        def rel_res(sol):
+            return (jnp.linalg.norm(matvec(sol) - rhs)
+                    / jnp.maximum(jnp.linalg.norm(rhs), 1e-300))
+
+        # convergence accounting (`symindef.jl:332-343` relies on minres's
+        # internal stopping; jax's gmres returns no residual info, so
+        # measure it and keep restarting while the direction would be
+        # garbage): up to 3 extra warm-started cycles, each a no-op once
+        # the relative residual is below sqrt(eps). A still-unconverged
+        # solve degrades gracefully — the true 6x6 residual lands in
+        # worst_dir_res via get_directions and refinement rolls back.
+        tol_ind = jnp.sqrt(jnp.finfo(ctx.dtype).eps)
+        sol0 = one_cycle(jnp.zeros_like(rhs))
+
+        def cond(carry):
+            sol, it = carry
+            return (it < 3) & (rel_res(sol) > tol_ind)
+
+        def body(carry):
+            sol, it = carry
+            return one_cycle(sol), it + 1
+
+        sol, _ = jax.lax.while_loop(cond, body, (sol0, jnp.asarray(0)))
         return sol[:n], sol[n:n + p], sol[n + p:]
 
     assert ctx.syssolver == "qrchol"

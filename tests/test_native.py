@@ -175,3 +175,25 @@ def test_init_use_indirect():
     s2.solve()
     assert abs(s.get_primal_obj() - s2.get_primal_obj()) < 1e-6 * (
         1 + abs(s2.get_primal_obj()))
+
+
+def test_indirect_ill_conditioned():
+    """GMRES convergence accounting in symindef_indirect
+    (`symindef.jl:332-343`): a badly row-scaled LP (1e4 row-norm spread,
+    rescale off so Ruiz doesn't mask it) must still produce usable
+    directions — the restart-until-converged loop keeps the 3x3 residual
+    below sqrt(eps) instead of silently returning a 40-iteration
+    partial solve."""
+    rng = np.random.default_rng(7)
+    m, n = 6, 12
+    A = 10 * rng.random((m, n)) * np.logspace(0, 4, m)[:, None]
+    b = A.sum(axis=1)
+    c = rng.random(n)
+    s = build_solve_check(
+        c, A, b, -np.eye(n), np.zeros(n), [cones.Nonnegative(n)],
+        syssolver="symindef_indirect", preprocess=False, reduce=False,
+        rescale=False, default_tol_relax=10000, tol_slow=1e-5,
+        check_tol=1e-2)
+    import scipy.optimize
+    res = scipy.optimize.linprog(c, A_eq=A, b_eq=b, bounds=(0, None))
+    assert abs(s.get_primal_obj() - res.fun) < 1e-3 * (1 + abs(res.fun))
