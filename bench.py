@@ -180,9 +180,25 @@ def main():
                 "total_iters": tot_iters, "solve_s": round(wall, 3),
                 "agg_iters_per_s": round(tot_iters / wall, 1)}
     import sys
+
+    # wall-clock budget: the driver kills the bench at an unknown timeout
+    # (round-2 record: rc=124 after ~800 s of compile-dominated wall); skip
+    # remaining configs once the budget is spent so the JSON line ALWAYS
+    # prints. With a primed persistent compile cache every config runs in
+    # seconds and the budget never binds.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    bench_t0 = time.time()
+
+    def remaining():
+        return budget_s - (time.time() - bench_t0)
+
     per_config = {}
     for name, mod, params in configs:
-        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+        if remaining() < 60:
+            per_config[name] = {"status": "SKIPPED: bench budget exhausted"}
+            continue
+        print(f"[bench] {name} ... ({remaining():.0f}s budget left)",
+              file=sys.stderr, flush=True)
         t0 = time.time()
         try:
             # phase profiling compiles ~20 extra program shapes (minutes
@@ -191,7 +207,8 @@ def main():
                     and name in ("linearopt", "doptimaldesign"))
             res = run_config(mod, params, tol_relax=10, profile=prof)
             res["tol_relax"] = 10
-            if name == "relentr" and res["status"] != "Optimal":
+            if (name == "relentr" and res["status"] != "Optimal"
+                    and remaining() > 60):
                 # quantum RE retry at extra relaxation (TPU eigh accuracy)
                 res = run_config(mod, params, tol_relax=100)
                 res["tol_relax"] = 100
@@ -201,17 +218,22 @@ def main():
         print(f"[bench] {name} done in {time.time()-t0:.1f}s: "
               f"{per_config[name]}", file=sys.stderr, flush=True)
 
-    print("[bench] batch32 ...", file=sys.stderr, flush=True)
-    try:
-        per_config["batch32_lp128"] = run_batch()
-    except Exception as e:
-        per_config["batch32_lp128"] = {"status": f"ERROR: {e}"}
-    print(f"[bench] batch32 done: {per_config['batch32_lp128']}",
-          file=sys.stderr, flush=True)
+    if remaining() > 90:
+        print("[bench] batch32 ...", file=sys.stderr, flush=True)
+        try:
+            per_config["batch32_lp128"] = run_batch()
+        except Exception as e:
+            per_config["batch32_lp128"] = {"status": f"ERROR: {e}"}
+        print(f"[bench] batch32 done: {per_config['batch32_lp128']}",
+              file=sys.stderr, flush=True)
+    else:
+        per_config["batch32_lp128"] = {
+            "status": "SKIPPED: bench budget exhausted"}
 
     print("[bench] cpu single-thread baseline ...", file=sys.stderr,
           flush=True)
-    cpu_base = measure_cpu_baseline()
+    cpu_base = measure_cpu_baseline(
+        timeout=max(60, min(900, remaining())))
     print(f"[bench] cpu baseline: {cpu_base}", file=sys.stderr, flush=True)
 
     primary = per_config.get("linearopt", {})

@@ -27,7 +27,7 @@ STATUSES = (
     "NotLoaded", "Loaded", "SolveCalled", "Optimal", "PrimalInfeasible",
     "DualInfeasible", "IllPosed", "PrimalInconsistent", "DualInconsistent",
     "SlowProgress", "IterationLimit", "TimeLimit", "NumericalFailure",
-    "UnknownStatus",
+    "NearOptimal", "UnknownStatus",
 )
 
 
@@ -136,6 +136,7 @@ class Solver:
         min_prox=0.01,
         shift_sched=0,
         max_ref_steps=5,
+        near_factor=1000.0,
         schur_syrk=True,
         naiveelim_inv_hess=True,
         group_cones=True,
@@ -185,6 +186,13 @@ class Solver:
             naiveelim_inv_hess=naiveelim_inv_hess,
         )
         self.max_ref_steps = max_ref_steps
+        #: NearOptimal relaxed termination: when the solve stalls
+        #: (SlowProgress / IterationLimit / TimeLimit / NumericalFailure)
+        #: but the final iterate satisfies the convergence conditions at
+        #: `near_factor` x the tolerances, report NearOptimal instead of
+        #: the failure status. The reference lists this as a TODO
+        #: (`Solvers.jl` "NearOptimal" comments); 0/None disables.
+        self.near_factor = near_factor
         self.group_cones = group_cones
         self.fused = fused
         #: jax.sharding.Mesh for a SINGLE-model distributed solve: the cone
@@ -551,6 +559,19 @@ class Solver:
 
             self.num_iters += 1
 
+        # NearOptimal relaxed re-check on the final iterate
+        if self.status in ("SlowProgress", "IterationLimit", "TimeLimit",
+                           "NumericalFailure"):
+            convh = jax.device_get(_conv_jit(ctx, data, conv_tols, pt))
+            if self._is_near_optimal(convh):
+                self.status = "NearOptimal"
+                tau = float(convh["tau"])
+                self.primal_obj = (float(convh["primal_obj_t"]) / tau
+                                   + model.obj_offset)
+                self.dual_obj = (float(convh["dual_obj_t"]) / tau
+                                 + model.obj_offset)
+                self.gap = float(convh["gap"])
+
         # finalize result
         t0 = time.time()
         point_np = {k: np.asarray(v) for k, v in pt.items()}
@@ -586,6 +607,10 @@ class Solver:
 
         code = int(status_code)
         self.status = fused.STATUS_CODES.get(code, "UnknownStatus")
+        if (self.status in ("SlowProgress", "IterationLimit",
+                            "NumericalFailure")
+                and self._is_near_optimal(convh)):
+            self.status = "NearOptimal"
         self.num_iters = int(iters)
         self.worst_dir_res = float(wdr)
         tau = float(convh["tau"])
@@ -649,6 +674,29 @@ class Solver:
             self.status = "IllPosed"
             return True
         return False
+
+    def _is_near_optimal(self, convh):
+        """Optimality test at near_factor x tolerances on the final iterate
+        (relaxed termination; the reference carries this as a TODO)."""
+        nf = self.near_factor
+        if not nf:
+            return False
+        tau = float(convh["tau"])
+        if not np.isfinite(tau) or tau <= 0:
+            return False
+        gap = float(convh["gap"])
+        pobj_t = float(convh["primal_obj_t"])
+        dobj_t = float(convh["dual_obj_t"])
+        feas = max(float(convh["x_feas"]), float(convh["y_feas"]),
+                   float(convh["z_feas"]))
+        if not np.isfinite(feas) or not np.isfinite(gap):
+            return False
+        is_feas = feas <= nf * self.tol_feas
+        is_abs = gap <= nf * self.tol_abs_opt
+        is_rel = (min(gap / tau, abs(pobj_t - dobj_t)) <=
+                  nf * self.tol_rel_opt
+                  * max(tau, min(abs(pobj_t), abs(dobj_t))))
+        return is_feas and (is_abs or is_rel)
 
 
 def solve(model, **options):

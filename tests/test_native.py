@@ -197,3 +197,24 @@ def test_indirect_ill_conditioned():
     import scipy.optimize
     res = scipy.optimize.linprog(c, A_eq=A, b_eq=b, bounds=(0, None))
     assert abs(s.get_primal_obj() - res.fun) < 1e-3 * (1 + abs(res.fun))
+
+
+def test_near_optimal_status():
+    """NearOptimal relaxed termination: a strictly-slack SOC stalls at
+    ~3e-8 relative gap with SlowProgress at tight tolerances (documented
+    behavior matching the reference's thresholds); with near_factor the
+    final iterate passes the relaxed optimality test and reports
+    NearOptimal instead. near_factor=0 disables."""
+    c = [1.0]
+    G = np.array([[-1.0], [0.0], [-1.0]])
+    h = [-1.0, 2.0, 0.0]
+    cl = [cones.Nonnegative(1), cones.EpiNormEucl(2)]
+    st = []
+    for nf in (1000.0, 0.0):
+        model = Model(c, np.zeros((0, 1)), np.zeros(0), G, h, cl)
+        s = Solver(verbose=False, near_factor=nf, iter_limit=100)
+        s.load(model)
+        s.solve()
+        st.append(s.get_status())
+        assert abs(s.get_primal_obj() - 1.0) < 1e-6
+    assert st == ["NearOptimal", "SlowProgress"]
