@@ -52,6 +52,12 @@ def _use_blocked():
     return _BLOCKED.get() and jax.default_backend() != "cpu"
 
 
+def in_blocked_scope():
+    """Whether an enclosing blocked_scope has enabled the blocked kernels
+    (used to keep inner policy scopes from disabling an outer opt-in)."""
+    return _BLOCKED.get()
+
+
 def solve_tri(L, B, lower=True, trans=False):
     """Triangular solve wrapper (unit_diagonal=False).
 
@@ -149,6 +155,75 @@ def cholesky_shifted(A, num_tries: int = None):
         return L, ok
 
     return jax.lax.cond(ok0, lambda _: (L0, ok0), fallback, None)
+
+
+def auto_blocked_schur(A):
+    """Policy: use the blocked factorization kernels for the (unbatched)
+    Schur factorization on accelerator backends.
+
+    Measured on TPU v5e (f64, fresh-input chained timing,
+    benchmarks/blocked_fresh_r3.py): XLA's native chol(128)+inverse is
+    8.7 ms — a latency-bound sequential kernel, value-independent — while
+    the blocked base-16 combined kernel is 3.6 ms. Enabled for real dtypes
+    up to 512 (larger sizes unmeasured and compile-heavy); kill switch
+    HYPATIA_TPU_NO_BLOCKED, force with HYPATIA_TPU_FORCE_BLOCKED.
+    """
+    if os.environ.get("HYPATIA_TPU_NO_BLOCKED"):
+        return False
+    if jax.default_backend() == "cpu":
+        return bool(os.environ.get("HYPATIA_TPU_FORCE_BLOCKED"))
+    return (not jnp.iscomplexobj(A)) and A.shape[-1] <= 512
+
+
+def cholesky_shifted_and_inv(A, num_tries: int = None):
+    """(L, A^-1, ok) with the shifted-retry recovery of cholesky_shifted.
+
+    Inside blocked scopes (or under auto_blocked_schur policy via an
+    enclosing blocked_scope) the combined blocked kernel produces the
+    factor and the triangular inverse in one recursion — cheaper than
+    chol followed by a separate inverse (3.6 vs ~5+ ms at n=128 on TPU).
+    """
+    if num_tries is None:
+        num_tries = _CHOL_TRIES.get()
+    d = A.shape[-1]
+    if d == 0:
+        return A, A, jnp.asarray(True)
+
+    if _use_blocked() and not jnp.iscomplexobj(A):
+        def fact(M):
+            L, Li = blocked.blocked_chol_and_inv(M)
+            return L, Li.swapaxes(-1, -2) @ Li
+    else:
+        def fact(M):
+            L = jnp.linalg.cholesky(M)
+            return L, chol_inverse(L)
+
+    L0, inv0 = fact(A)
+    ok0 = chol_ok(L0)
+    if num_tries <= 1:
+        return L0, inv0, ok0
+
+    eps = jnp.finfo(A.dtype).eps
+
+    def fallback(_):
+        diag_max = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A))), 1.0)
+
+        def try_shift(carry, i):
+            L, inv, ok = carry
+            shift = diag_max * eps * (100.0 ** i.astype(A.dtype))
+            Ls, invs = fact(A + shift * jnp.eye(d, dtype=A.dtype))
+            oks = chol_ok(Ls)
+            take = (~ok) & oks
+            L = jnp.where(take, Ls, L)
+            inv = jnp.where(take, invs, inv)
+            ok = ok | oks
+            return (L, inv, ok), None
+
+        (L, inv, ok), _ = jax.lax.scan(try_shift, (L0, inv0, ok0),
+                                       jnp.arange(1, num_tries))
+        return L, inv, ok
+
+    return jax.lax.cond(ok0, lambda _: (L0, inv0, ok0), fallback, None)
 
 
 def tri_inverse(L, lower=True):

@@ -40,6 +40,16 @@ def _tree_sig(out):
     return jnp.where(jnp.isfinite(sig), 0.0 * sig, 0.0)
 
 
+def _vary(tree, eps=1e-13):
+    """Value-level input variation: repeated execution of one program with
+    IDENTICAL input buffers can short-circuit in the remote-execution layer
+    (measured: a 7.2 ms chol chain reads as ~0 with reused inputs), so the
+    timed call must see fresh values."""
+    return jax.tree_util.tree_map(
+        lambda v: v * (1.0 + eps) if jnp.issubdtype(v.dtype, jnp.inexact)
+        else v, tree)
+
+
 def _time_scan(fn, args, n):
     """Wall time of scan-of-n dependent invocations of fn(*args) inside one
     jitted program (blocking on the result)."""
@@ -56,9 +66,10 @@ def _time_scan(fn, args, n):
                                    length=n)
         return sig
 
-    run(args).block_until_ready()  # compile
+    run(args).block_until_ready()  # compile + warm
+    fresh = _vary(args)
     t0 = time.perf_counter()
-    run(args).block_until_ready()
+    run(fresh).block_until_ready()
     return time.perf_counter() - t0
 
 

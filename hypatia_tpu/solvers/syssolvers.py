@@ -138,9 +138,14 @@ def update_lhs(ctx, data, iter_aux):
             lhs = shard.constrain(lhs, None, None)
         else:
             lhs = accumulate(GQ2, UGQ2, HGQ2)
-        L, ok = linalg.cholesky_shifted(lhs)
+        # factorization: on TPU the native chol+inverse is latency-bound
+        # (8.7 ms at n=128); the blocked combined kernel is 3.6 ms
+        # (auto_blocked_schur policy + measurements)
+        with linalg.blocked_scope(linalg.auto_blocked_schur(lhs)
+                                  or linalg.in_blocked_scope()):
+            L, inv, ok = linalg.cholesky_shifted_and_inv(lhs)
         sys["schur_chol"] = L
-        sys["schur_inv"] = linalg.chol_inverse(L)
+        sys["schur_inv"] = inv
         sys["schur_ok"] = ok
     elif ctx.syssolver == "symindef":
         npq = ctx.n + ctx.p + ctx.q

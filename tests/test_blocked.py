@@ -149,3 +149,36 @@ def test_blocked_tri_solve():
     Bb = np.stack([B, 2 * B])
     Xb = np.asarray(blocked_tri_solve(jnp.asarray(Lb), jnp.asarray(Bb)))
     np.testing.assert_allclose(Lb @ Xb, Bb, atol=1e-11 * n)
+
+
+def test_cholesky_shifted_and_inv_paths():
+    """The fused factor+inverse agrees between the native and blocked
+    dispatch paths, including the shifted-recovery scan."""
+    import unittest.mock as um
+
+    import jax.numpy as jnp
+
+    from hypatia_tpu.ops import linalg
+
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((37, 37))
+    A = jnp.asarray(M @ M.T + 37 * np.eye(37))
+    L, inv, ok = linalg.cholesky_shifted_and_inv(A)
+    assert bool(ok)
+    assert float(jnp.max(jnp.abs(inv @ A - jnp.eye(37)))) < 1e-12
+    with um.patch.object(linalg, "_use_blocked", lambda: True):
+        L2, inv2, ok2 = linalg.cholesky_shifted_and_inv(A)
+    assert bool(ok2)
+    assert float(jnp.max(jnp.abs(L - L2))) < 1e-12
+    assert float(jnp.max(jnp.abs(inv2 @ A - jnp.eye(37)))) < 1e-12
+    # near-singular PSD: recovery shift must rescue the factorization
+    U = np.linalg.qr(rng.standard_normal((12, 12)))[0]
+    lam = np.full(12, 1.0)
+    lam[-1] = -1e-18  # tiny negative eigenvalue -> raw chol fails
+    P = jnp.asarray((U * lam) @ U.T)
+    L3, inv3, ok3 = linalg.cholesky_shifted_and_inv(P)
+    assert bool(ok3)
+    # grossly indefinite: recovery must NOT claim success
+    N = jnp.asarray(M @ M.T - 5 * np.eye(37))
+    _, _, ok4 = linalg.cholesky_shifted_and_inv(N)
+    assert not bool(ok4)
