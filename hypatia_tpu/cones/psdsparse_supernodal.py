@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from hypatia_tpu.cones.psdsparse import (PosSemidefTriSparse,
                                          _StructuredPSDSparse)
 from hypatia_tpu.ops import linalg
-from hypatia_tpu.ops.supernodal import SupernodalStructure
+from hypatia_tpu.ops.supernodal import LevelSchedule, SupernodalStructure
 
 
 def _sym(M):
@@ -48,13 +48,37 @@ def _rdiv2(X, L):
     return linalg.cho_solve(L, X.conj().T).conj().T
 
 
+def _mH(M):
+    """Batched conjugate transpose (last two axes)."""
+    return jnp.swapaxes(M.conj(), -1, -2)
+
+
+def _symb(M):
+    """Batched Hermitian part."""
+    return (M + _mH(M)) / 2
+
+
+def _rdiv2b(X, L):
+    """Batched X @ (L L^H)^-1."""
+    return _mH(linalg.cho_solve(L, _mH(X)))
+
+
+def _sym_expand_diag(D):
+    """Expand batched lower-stored (…, nn, nn) diagonal blocks to full
+    Hermitian: D + D^H - diag(diag(D))."""
+    nn = D.shape[-1]
+    eye = jnp.eye(nn, dtype=jnp.real(D).dtype)
+    d = jnp.diagonal(D, axis1=-2, axis2=-1)
+    return D + _mH(D) - eye * d[..., None, :]
+
+
 class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
     """`PosSemidefTriSparse` with supernodal oracles (reference
     `PSDSparseCholmod` impl). Same cone, same svec layout; cost scales with
     the filled supernodal structure rather than the dense side."""
 
     def __init__(self, side, row_idxs, col_idxs, is_complex=False,
-                 use_dual=False, perm=None):
+                 use_dual=False, perm=None, bucketed=True):
         super().__init__(side, row_idxs, col_idxs, is_complex=is_complex,
                          use_dual=use_dual)
         S = self.symb = SupernodalStructure(side, self.row_idxs,
@@ -72,6 +96,12 @@ class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
         # group pattern entries by supernode for the scatter/pack loops
         self._sup_entries = [np.nonzero(S.ent_super == k)[0]
                              for k in range(S.num_super)]
+        #: level-bucketed execution: program size scales with the number
+        #: of distinct (level, shape) supernode groups instead of the
+        #: supernode count (the per-supernode recursions unroll at trace
+        #: time, capping usable pattern sizes via remote-compile cost)
+        self.bucketed = bool(bucketed)
+        self.sched = LevelSchedule(S, self._sup_entries)
 
     def params_key(self):
         return super().params_key() + (self.symb.perm.tobytes(),)
@@ -145,6 +175,8 @@ class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
         below blocks `Lan = L_a L_n^-1` (na x nn; the form the oracle
         recursions use, `cholmodimpl.jl:262`), and `ok`.
         """
+        if self.bucketed:
+            return self._factor_b(s)
         S = self.symb
         A = self._blocks_from_svec(s)
         dt = A[0].dtype
@@ -179,8 +211,9 @@ class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
 
     def barrier(self, s):
         fact = self._factor(s)
-        total = sum(jnp.sum(jnp.log(jnp.real(jnp.diagonal(L))))
-                    for L in fact["Ln"])
+        total = sum(jnp.sum(jnp.log(jnp.real(
+            jnp.diagonal(L, axis1=-2, axis2=-1))))
+            for L in fact["Ln"])
         return -2 * total
 
     def feas(self, s):
@@ -194,6 +227,8 @@ class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
         """Backward recursion for the inverse projected onto the filled
         structure: per supernode the full inverse frontal Z (nj x nj) and
         its below-block `S = Z_aa` (reused by the Hessian recursions)."""
+        if self.bucketed:
+            return self._selected_inverse_b(fact)
         S = self.symb
         Z = [None] * S.num_super
         Zaa = [None] * S.num_super
@@ -318,6 +353,12 @@ class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
         return out, F
 
     def _hess_apply(self, fact, sel, v):
+        if self.bucketed:
+            temp = self._gblocks_from_svec(v)
+            temp = self._hess_step1_b(fact, temp)
+            temp = self._hess_step2_b(fact, sel, temp)
+            temp, _ = self._hess_step3_b(fact, temp)
+            return self._gsvec_from_blocks(temp)
         temp = self._blocks_from_svec(v)
         temp = self._hess_step1(fact, temp)
         temp = self._hess_step2(fact, sel, temp)
@@ -327,6 +368,10 @@ class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
     # -- cone oracle API (shared protocol in _StructuredPSDSparse) ----------
 
     def _pack_grad(self, sel):
+        if self.bucketed:
+            gblocks = [sel["Z"][gi][..., :, :nn]
+                       for gi, (_, _, nn, _) in enumerate(self.sched.groups)]
+            return -self._gsvec_from_blocks(gblocks)
         S = self.symb
         gblocks = [sel["Z"][k][:, :int(S.num_cols[k])]
                    for k in range(S.num_super)]
@@ -337,6 +382,8 @@ class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
         recursion (`cholmodimpl.jl:545-615`)."""
         aux = self._get_aux(s, aux)
         fact, sel = aux["fact"], aux["sel"]
+        if self.bucketed:
+            return self._dder3_b(fact, sel, d)
         S = self.symb
 
         temp = self._blocks_from_svec(d)
@@ -382,3 +429,261 @@ class PosSemidefTriSparseSupernodal(_StructuredPSDSparse):
 
         out, _ = self._hess_step3(fact, out)
         return self._svec_from_blocks(out) / 2
+
+    # ======================================================================
+    # Level-bucketed engine: all per-supernode loops replaced by per-
+    # (level, shape)-group vmapped kernels; program size scales with the
+    # group count, not the supernode count (general trees compile like the
+    # uniform chain/star patterns do).
+    # ======================================================================
+
+    def _gblocks_from_svec(self, s):
+        """Per-group stacked frontal input blocks (g, nj, nn), padded
+        entry scatter (masked adds onto zeros == set: entries unique)."""
+        L = self.sched
+        vals = self._entry_values(s)
+        out = []
+        for gi, (_, nj, nn, members) in enumerate(L.groups):
+            em = L.entry_maps[gi]
+            g = len(members)
+            B = jnp.zeros((g, nj, nn), dtype=vals.dtype)
+            if em["idx"].size:
+                v = jnp.where(em["mask"], vals[em["idx"]], 0.0)
+                gidx = np.arange(g)[:, None]
+                B = B.at[gidx, em["row"], em["col"]].add(v)
+            out.append(B)
+        return out
+
+    def _gsvec_from_blocks(self, blocks):
+        """Adjoint read-out: per-group stacked blocks -> svec vector."""
+        L = self.sched
+        rdt = jnp.real(blocks[0]).dtype
+        rt2 = jnp.sqrt(jnp.asarray(2.0, dtype=rdt))
+        out = jnp.zeros(self.dim, dtype=rdt)
+        for gi, (_, nj, nn, members) in enumerate(L.groups):
+            em = L.entry_maps[gi]
+            if not em["idx"].size:
+                continue
+            g = len(members)
+            gidx = np.arange(g)[:, None]
+            v = blocks[gi][gidx, em["row"], em["col"]]
+            idx, mask = em["idx"], em["mask"]
+            offd = self._ent_offd[idx]
+            slots = self._ent_slot[idx]
+            re = jnp.real(v)
+            re = jnp.where(offd, re * rt2, re)
+            out = out.at[slots].add(jnp.where(mask, re, 0.0))
+            if self.is_complex:
+                sgn = jnp.asarray(
+                    np.where(self.symb.ent_swapped[idx], 1.0, -1.0),
+                    dtype=rdt)
+                im = sgn * jnp.imag(v) * rt2
+                tgt = slots + offd.astype(int)
+                out = out.at[tgt].add(jnp.where(mask & offd, im, 0.0))
+        return out
+
+    def _factor_b(self, s):
+        L = self.sched
+        A = self._gblocks_from_svec(s)
+        G = L.num_groups()
+        Ln, Lan, updates = [None] * G, [None] * G, [None] * G
+        ok = jnp.asarray(True)
+        for gi, (_, nj, nn, members) in enumerate(L.groups):
+            g = len(members)
+            na = nj - nn
+            dt = A[gi].dtype
+            F = jnp.zeros((g, nj, nj), dtype=dt)
+            F = F.at[:, :nn, :nn].set(_sym_expand_diag(A[gi][:, :nn, :]))
+            if na:
+                F = F.at[:, nn:, :nn].set(A[gi][:, nn:, :])
+            for e in L.edges_into.get(gi, []):
+                Uc = updates[e["child_group"]][e["child_slots"]]
+                ps, rel = e["parent_slots"], e["rel"]
+                F = F.at[ps[:, None, None], rel[:, :, None],
+                         rel[:, None, :]].add(Uc)
+            Lnk = linalg.cholesky(F[:, :nn, :nn])
+            ok = ok & linalg.chol_ok(Lnk)
+            Fan = F[:, nn:, :nn]
+            LaH = linalg.tri_solve(Lnk, _mH(Fan))
+            Lank = _mH(linalg.tri_solve(Lnk, LaH, trans=True))
+            updates[gi] = F[:, nn:, nn:] - _mH(LaH) @ LaH
+            Ln[gi], Lan[gi] = Lnk, Lank
+        return {"Ln": Ln, "Lan": Lan, "ok": ok}
+
+    def _selected_inverse_b(self, fact):
+        L = self.sched
+        G = L.num_groups()
+        Z, Zaa = [None] * G, [None] * G
+        for gi in reversed(range(G)):
+            _, nj, nn, members = L.groups[gi]
+            g = len(members)
+            na = nj - nn
+            Lnk = fact["Ln"][gi]
+            Znn = linalg.chol_inverse(Lnk)
+            if na:
+                Za = jnp.zeros((g, na, na), dtype=Znn.dtype)
+                for e in L.edges_from.get(gi, []):
+                    Zp = Z[e["parent_group"]]
+                    ps, rel = e["parent_slots"], e["rel"]
+                    sub = Zp[ps[:, None, None], rel[:, :, None],
+                             rel[:, None, :]]
+                    Za = Za.at[e["child_slots"]].set(sub)
+                Lank = fact["Lan"][gi]
+                Zan = -(Za @ Lank)
+                Znn = Znn + _mH(Lank) @ Za @ Lank
+                Zk = jnp.zeros((g, nj, nj), dtype=Znn.dtype)
+                Zk = Zk.at[:, :nn, :nn].set(Znn)
+                Zk = Zk.at[:, nn:, :nn].set(Zan)
+                Zk = Zk.at[:, :nn, nn:].set(_mH(Zan))
+                Zk = Zk.at[:, nn:, nn:].set(Za)
+            else:
+                Za = jnp.zeros((g, 0, 0), dtype=Znn.dtype)
+                Zk = Znn
+            Z[gi], Zaa[gi] = Zk, Za
+        return {"Z": Z, "Zaa": Zaa}
+
+    def _outer_L_prod_b(self, F, Lan, nn):
+        Fnn = F[:, :nn, :nn]
+        Fan = F[:, nn:, :nn]
+        Faa = F[:, nn:, nn:]
+        Faa = Faa - Lan @ _mH(Fan)
+        Fan = Fan - Lan @ Fnn
+        Faa = Faa - Fan @ _mH(Lan)
+        F = F.at[:, nn:, :nn].set(Fan)
+        F = F.at[:, :nn, nn:].set(_mH(Fan))
+        F = F.at[:, nn:, nn:].set(Faa)
+        return F
+
+    def _full_frontals_b(self, temp):
+        """Lift per-group (g, nj, nn) column blocks to full Hermitian
+        (g, nj, nj) frontals."""
+        L = self.sched
+        F = []
+        for gi, (_, nj, nn, members) in enumerate(L.groups):
+            g = len(members)
+            Fk = jnp.zeros((g, nj, nj), dtype=temp[gi].dtype)
+            Fk = Fk.at[:, :nn, :nn].set(_sym_expand_diag(temp[gi][:, :nn, :]))
+            if nj > nn:
+                Fk = Fk.at[:, nn:, :nn].set(temp[gi][:, nn:, :])
+                Fk = Fk.at[:, :nn, nn:].set(_mH(temp[gi][:, nn:, :]))
+            F.append(Fk)
+        return F
+
+    def _hess_step1_b(self, fact, temp):
+        L = self.sched
+        G = L.num_groups()
+        F = self._full_frontals_b(temp)
+        out = [None] * G
+        for gi, (_, nj, nn, members) in enumerate(L.groups):
+            if nj > nn:
+                F[gi] = self._outer_L_prod_b(F[gi], fact["Lan"][gi], nn)
+                for e in L.edges_from.get(gi, []):
+                    contrib = F[gi][e["child_slots"], nn:, nn:]
+                    ps, rel = e["parent_slots"], e["rel"]
+                    pg = e["parent_group"]
+                    F[pg] = F[pg].at[ps[:, None, None], rel[:, :, None],
+                                     rel[:, None, :]].add(contrib)
+            out[gi] = F[gi][:, :, :nn]
+        return out
+
+    def _hess_step2_b(self, fact, sel, temp, save_l_pr=False):
+        L = self.sched
+        out, l_pr = [], []
+        for gi, (_, nj, nn, members) in enumerate(L.groups):
+            Lnk = fact["Ln"][gi]
+            Tn = _symb(temp[gi][:, :nn, :])
+            Ta = temp[gi][:, nn:, :]
+            pr_n = Tn
+            Tn = linalg.cho_solve(Lnk, Tn)
+            Tn = _rdiv2b(Tn, Lnk)
+            Ta = _rdiv2b(Ta, Lnk)
+            if save_l_pr:
+                l_pr.append(jnp.concatenate([pr_n, Ta], axis=-2))
+            if Ta.shape[-2]:
+                Ta = sel["Zaa"][gi] @ Ta
+            out.append(jnp.concatenate([Tn, Ta], axis=-2))
+        return (out, l_pr) if save_l_pr else out
+
+    def _hess_step3_b(self, fact, temp):
+        L = self.sched
+        G = L.num_groups()
+        F = [None] * G
+        out = [None] * G
+        for gi in reversed(range(G)):
+            _, nj, nn, members = L.groups[gi]
+            g = len(members)
+            na = nj - nn
+            Fk = jnp.zeros((g, nj, nj), dtype=temp[gi].dtype)
+            Fk = Fk.at[:, :nn, :nn].set(_symb(temp[gi][:, :nn, :]))
+            if na:
+                Fk = Fk.at[:, nn:, :nn].set(temp[gi][:, nn:, :])
+                Fk = Fk.at[:, :nn, nn:].set(_mH(temp[gi][:, nn:, :]))
+                Faa = jnp.zeros((g, na, na), dtype=Fk.dtype)
+                for e in L.edges_from.get(gi, []):
+                    Fp = F[e["parent_group"]]
+                    ps, rel = e["parent_slots"], e["rel"]
+                    sub = Fp[ps[:, None, None], rel[:, :, None],
+                             rel[:, None, :]]
+                    Faa = Faa.at[e["child_slots"]].set(sub)
+                Lank = fact["Lan"][gi]
+                Fnn = Fk[:, :nn, :nn]
+                Fan = Fk[:, nn:, :nn]
+                Fnn = (Fnn - _mH(Fan) @ Lank - _mH(Lank) @ Fan
+                       + _mH(Lank) @ Faa @ Lank)
+                Fan = Fan - Faa @ Lank
+                Fk = Fk.at[:, :nn, :nn].set(Fnn)
+                Fk = Fk.at[:, nn:, :nn].set(Fan)
+                Fk = Fk.at[:, :nn, nn:].set(_mH(Fan))
+                Fk = Fk.at[:, nn:, nn:].set(Faa)
+            F[gi] = Fk
+            out[gi] = Fk[:, :, :nn]
+        return out, F
+
+    def _dder3_b(self, fact, sel, d):
+        L = self.sched
+        G = L.num_groups()
+        temp = self._gblocks_from_svec(d)
+        temp = self._hess_step1_b(fact, temp)
+        temp, l_pr = self._hess_step2_b(fact, sel, temp, save_l_pr=True)
+        temp, F3 = self._hess_step3_b(fact, temp)
+        S_pr = [F3[gi][:, L.groups[gi][2]:, L.groups[gi][2]:]
+                for gi in range(G)]
+
+        F = [jnp.zeros_like(F3[gi]) for gi in range(G)]
+        out = [None] * G
+        for gi, (_, nj, nn, members) in enumerate(L.groups):
+            na = nj - nn
+            Lnk = fact["Ln"][gi]
+            Lank = fact["Lan"][gi]
+            D_pr = l_pr[gi][:, :nn, :]
+            Lpr_a = l_pr[gi][:, nn:, :]
+            if na:
+                F[gi] = self._outer_L_prod_b(F[gi], Lank, nn)
+                T = Lpr_a @ Lnk
+                Faa = F[gi][:, nn:, nn:] - 2 * (T @ _mH(T))
+                F[gi] = F[gi].at[:, nn:, nn:].set(Faa)
+                for e in L.edges_from.get(gi, []):
+                    ps, rel = e["parent_slots"], e["rel"]
+                    pg = e["parent_group"]
+                    F[pg] = F[pg].at[ps[:, None, None], rel[:, :, None],
+                                     rel[:, None, :]].add(
+                        Faa[e["child_slots"]])
+            Lprpr = F[gi][:, :, :nn]
+            Lprpr_a = Lprpr[:, nn:, :] - 2 * (Lpr_a @ D_pr)
+            Lprpr_a = _rdiv2b(Lprpr_a, Lnk)
+            Tn = -Lprpr[:, :nn, :]
+            D2 = linalg.tri_solve(Lnk, D_pr)
+            Tn = Tn + 2 * (_mH(D2) @ D2)
+            Tn = linalg.cho_solve(Lnk, Tn)
+            Tn = _rdiv2b(Tn, Lnk)
+            if na:
+                Sk = sel["Zaa"][gi]
+                t1 = Sk @ Lpr_a
+                Tn = Tn + 2 * (_mH(Lpr_a) @ t1)
+                Ta = 2 * (S_pr[gi] @ Lpr_a) - Sk @ Lprpr_a
+            else:
+                Ta = Lpr_a
+            out[gi] = jnp.concatenate([Tn, Ta], axis=-2)
+
+        out, _ = self._hess_step3_b(fact, out)
+        return self._gsvec_from_blocks(out) / 2

@@ -278,9 +278,11 @@ def chol_inverse(L):
     if _use_blocked() and not jnp.iscomplexobj(L):
         Li = blocked.blocked_tri_inverse(L)
     else:
-        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+        # broadcast to L's batch shape: jsl.solve_triangular's sharding
+        # rule rejects a 2-D RHS against a batched triangular factor
+        eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
         Li = solve_tri(L, eye, lower=True)
-    return Li.conj().T @ Li
+    return jnp.swapaxes(Li.conj(), -1, -2) @ Li
 
 
 def posdef_solve(A, B, num_tries: int = 4):

@@ -85,7 +85,8 @@ class SupernodalStructure:
         complex case).
     """
 
-    def __init__(self, side, row_idxs, col_idxs, perm=None):
+    def __init__(self, side, row_idxs, col_idxs, perm=None,
+                 relax=(16, 0.3)):
         row_idxs = np.asarray(row_idxs, dtype=int)
         col_idxs = np.asarray(col_idxs, dtype=int)
         assert np.all(row_idxs >= col_idxs)
@@ -139,6 +140,46 @@ class SupernodalStructure:
                     and len(struct[j - 1]) == len(struct[j]) + 1):
                 starts.append(j)
         starts.append(side)
+
+        # -- relaxed amalgamation (CHOLMOD-style): merge a supernode into
+        #    the immediately-following one when that supernode is its
+        #    elimination-tree parent and the explicit zeros introduced stay
+        #    bounded. Fewer, denser frontal blocks: ~linearly fewer
+        #    trace-time units (compile cost) and MXU-friendlier matmuls;
+        #    the oracles stay exact (the recursions are exact on any
+        #    structure containing the Cholesky fill).
+        relax_min = int(relax[0]) if relax else 16
+        relax_frac = float(relax[1]) if relax else 0.3
+
+        def below_union(j0, j1):
+            s = set()
+            for j in range(j0, j1):
+                s.update(r for r in struct[j] if r >= j1)
+            return sorted(s)
+
+        def block_waste(j0, j1):
+            nn = j1 - j0
+            nj = nn + len(below_union(j0, j1))
+            block = nj * nn - nn * (nn - 1) // 2
+            actual = sum(1 + len(struct[j]) for j in range(j0, j1))
+            return (block - actual) / max(block, 1), nn
+
+        changed = True
+        while changed:
+            changed = False
+            i = 0
+            while i + 2 < len(starts):
+                j0, j1, j2 = starts[i], starts[i + 1], starts[i + 2]
+                # next segment must be this one's etree parent
+                bel = below_union(j0, j1)
+                if bel and j1 <= bel[0] < j2:
+                    waste, nn = block_waste(j0, j2)
+                    if nn <= relax_min or waste <= relax_frac:
+                        del starts[i + 1]
+                        changed = True
+                        continue
+                i += 1
+
         self.supers = np.array(starts, dtype=int)
         self.num_super = len(starts) - 1
         super_map = np.empty(side, dtype=int)
@@ -151,7 +192,7 @@ class SupernodalStructure:
         self.parent = np.full(self.num_super, -1, dtype=int)
         for k in range(self.num_super):
             j0, j1 = starts[k], starts[k + 1]
-            below = struct[j0][struct[j0] >= j1]
+            below = np.array(below_union(j0, j1), dtype=int)
             J = np.concatenate([np.arange(j0, j1), below])
             self.J_rows.append(J)
             if below.size:
@@ -205,3 +246,99 @@ class SupernodalStructure:
         """Below-diagonal nonzeros of the factor (a cost diagnostic)."""
         return int(sum(nj * nn - nn * (nn + 1) // 2
                        for nj, nn in zip(self.num_rows, self.num_cols)))
+
+
+class LevelSchedule:
+    """Level-bucketed execution schedule over a SupernodalStructure.
+
+    The per-supernode numeric recursions unroll at trace time, so program
+    size (and remote-compile cost) scales with the supernode count.  This
+    schedule groups supernodes by elimination-tree LEVEL (all supernodes in
+    a level are mutually independent: children complete at strictly lower
+    levels) and, within a level, by identical frontal shape (nj, nn) — each
+    (level, shape) group executes as ONE vmapped kernel, so program size
+    scales with the number of distinct (level, shape) groups instead.
+
+    Precomputed index arrays (all numpy, trace-time constants):
+      - groups: list of (level, nj, nn, member_ids) in execution order
+        (ascending level; reverse order is valid for backward passes)
+      - group_of / slot_of: supernode -> (group index, position in stack)
+      - per group: padded pattern-entry scatter maps (ent_slot/row/col/mask)
+      - edges: per (child group, parent group) pair, stacked
+        (child_slot, parent_slot, rel_idx rows) for the extend-add
+    """
+
+    def __init__(self, S: "SupernodalStructure", sup_entries):
+        self.S = S
+        K = S.num_super
+        level = np.zeros(K, dtype=int)
+        for k in range(K):  # postorder: children first
+            for c in S.children[k]:
+                level[k] = max(level[k], level[c] + 1)
+        self.level = level
+
+        buckets = {}
+        for k in range(K):
+            key = (int(level[k]), int(S.num_rows[k]), int(S.num_cols[k]))
+            buckets.setdefault(key, []).append(k)
+        self.groups = [(lv, nj, nn, np.array(members, dtype=int))
+                       for (lv, nj, nn), members in
+                       sorted(buckets.items())]
+        self.group_of = np.empty(K, dtype=int)
+        self.slot_of = np.empty(K, dtype=int)
+        for gi, (_, _, _, members) in enumerate(self.groups):
+            for slot, k in enumerate(members):
+                self.group_of[k] = gi
+                self.slot_of[k] = slot
+
+        # padded pattern-entry maps per group (entry counts vary per
+        # member; pad with masked writes to position (0, 0))
+        self.entry_maps = []
+        for _, nj, nn, members in self.groups:
+            emax = max((len(sup_entries[k]) for k in members), default=0)
+            g = len(members)
+            eslot = np.zeros((g, emax), dtype=int)
+            erow = np.zeros((g, emax), dtype=int)
+            ecol = np.zeros((g, emax), dtype=int)
+            eoffd = np.zeros((g, emax), dtype=bool)
+            eswap = np.zeros((g, emax), dtype=bool)
+            emask = np.zeros((g, emax), dtype=bool)
+            eidx = np.zeros((g, emax), dtype=int)  # global entry index
+            for i, k in enumerate(members):
+                ent = sup_entries[k]
+                m = len(ent)
+                eidx[i, :m] = ent
+                erow[i, :m] = S.ent_row[ent]
+                ecol[i, :m] = S.ent_col[ent]
+                emask[i, :m] = True
+            self.entry_maps.append(dict(idx=eidx, row=erow, col=ecol,
+                                        mask=emask))
+
+        # extend-add edges: (child group, parent group) -> stacked indices
+        edges = {}
+        for k in range(K):
+            p = S.parent[k]
+            if p < 0:
+                continue
+            key = (int(self.group_of[k]), int(self.group_of[p]))
+            edges.setdefault(key, []).append(k)
+        self.edges = []
+        for (gc, gp), childs in sorted(edges.items()):
+            rel = np.stack([S.rel_idx[k] for k in childs])  # (e, na_c)
+            self.edges.append(dict(
+                child_group=gc, parent_group=gp,
+                child_slots=np.array([self.slot_of[k] for k in childs]),
+                parent_slots=np.array([self.slot_of[S.parent[k]]
+                                       for k in childs]),
+                rel=rel,
+            ))
+        # edges grouped by parent group (forward) and by child group
+        # (backward)
+        self.edges_into = {}
+        self.edges_from = {}
+        for e in self.edges:
+            self.edges_into.setdefault(e["parent_group"], []).append(e)
+            self.edges_from.setdefault(e["child_group"], []).append(e)
+
+    def num_groups(self):
+        return len(self.groups)

@@ -166,3 +166,44 @@ def test_solve_matches_dense_impl():
     assert r_sup["status"] == "Optimal"
     np.testing.assert_allclose(r_sup["primal_obj"], r_dense["primal_obj"],
                                rtol=1e-6, atol=1e-7)
+
+
+def test_bucketed_equals_flat_general_pattern():
+    """The level-bucketed engine (per-(level,shape)-group vmapped kernels)
+    must reproduce the per-supernode recursion exactly on a general
+    (non-chordal, random) pattern, real and complex."""
+    PosSemidefTriSparseSupernodal = cones.PosSemidefTriSparseSupernodal
+
+    rng = np.random.default_rng(3)
+    side = 16
+    rows = list(range(side))
+    cols = list(range(side))
+    seen = set()
+    while len(seen) < 30:
+        r, c = rng.integers(0, side, 2)
+        if r == c:
+            continue
+        key = (int(max(r, c)), int(min(r, c)))
+        if key in seen:
+            continue
+        seen.add(key)
+        rows.append(key[0])
+        cols.append(key[1])
+    for is_complex in (False, True):
+        cb = PosSemidefTriSparseSupernodal(side, rows, cols,
+                                           is_complex=is_complex,
+                                           bucketed=True)
+        cf = PosSemidefTriSparseSupernodal(side, rows, cols,
+                                           is_complex=is_complex,
+                                           bucketed=False)
+        assert cb.sched.num_groups() <= cb.symb.num_super
+        s = jnp.asarray(cb.init_point()) + 0.05 * rng.standard_normal(cb.dim)
+        d = jnp.asarray(rng.standard_normal(cb.dim))
+        for f in (lambda c: c.barrier(s), lambda c: c.grad(s),
+                  lambda c: c.hess_prod(s, d),
+                  lambda c: c.inv_hess_prod(s, d),
+                  lambda c: c.dder3(s, d)):
+            vb = np.asarray(f(cb), dtype=float)
+            vf = np.asarray(f(cf), dtype=float)
+            assert np.max(np.abs(vb - vf)) <= 1e-10 * (
+                1 + np.max(np.abs(vf)))
