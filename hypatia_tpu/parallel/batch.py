@@ -20,6 +20,63 @@ from hypatia_tpu.solvers.solver import calc_convergence, Solver
 from hypatia_tpu.utils.dtypes import eps as dtype_eps
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _init_carry_jit(ctx, pt_b):
+    from hypatia_tpu.solvers import fused
+
+    return jax.vmap(lambda p: fused.init_carry(ctx, p))(pt_b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _chunk_step_jit(ctx, chunk, data_b, carry, conv_tols, tols):
+    """`chunk` batched IPM iterations as one lax.scan program.
+
+    Module-level with static (ctx, chunk) and ARRAY tolerance args: one
+    trace+compile per problem STRUCTURE, reused across instance sets.
+    blocked_scope wraps the trace: the blocked factorizations vectorize
+    over the vmap lanes (XLA's native kernels serialize); chol_tries(2)
+    because under vmap lax.cond lowers to select, so the full 4-attempt
+    retry chain would always execute for all lanes.
+    """
+    from hypatia_tpu.ops import linalg as _linalg
+    from hypatia_tpu.solvers import fused
+
+    with _linalg.chol_tries(2), _linalg.blocked_scope():
+        body_fn = fused.make_body(ctx, conv_tols, tols)
+        batched = jax.vmap(body_fn, in_axes=(0, 0))
+
+        def sbody(c, _):
+            return batched(data_b, c), None
+
+        return jax.lax.scan(sbody, carry, None, length=chunk)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _solve_all_jit(ctx, iter_limit, data_b, pt_b, conv_tols, tols):
+    """Fully fused batched solve: one while_loop over the vmapped body."""
+    from hypatia_tpu.ops import linalg as _linalg
+    from hypatia_tpu.solvers import fused
+
+    with _linalg.chol_tries(2), _linalg.blocked_scope():
+        body_fn = fused.make_body(ctx, conv_tols, tols)
+        batched_body = jax.vmap(body_fn, in_axes=(0, 0))
+
+        def cond(carry):
+            return jnp.any((carry["status"] == 0)
+                           & (carry["it"] < iter_limit))
+
+        def body(carry):
+            return batched_body(data_b, carry)
+
+        carry0 = jax.vmap(lambda p: fused.init_carry(ctx, p))(pt_b)
+        out = jax.lax.while_loop(cond, body, carry0)
+    status = jnp.where(out["status"] == 0, 6, out["status"])
+    return out["pt"], status, out["it"]
+
+
 def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     """Solve a list of structurally-identical models in parallel.
 
@@ -152,20 +209,19 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         data_b = {k: jnp.asarray(v) for k, v in data_b.items()}
         pt_b = {k: jnp.asarray(v) for k, v in pt_b.items()}
 
+    # conv_tols and tols are ARRAY arguments of the (module-level, cached)
+    # jitted programs below — NOT Python-float closure constants. Baking
+    # them in recompiled the whole batched program for every new instance
+    # set (conv_tols depends on the data!): a measured 862 s "solve" that
+    # executes in 1.2 s once compiled correctly.
     conv_tols = {
-        "x": 1.0 / (1.0 + max(np.max(np.abs(m.c), initial=0.0)
-                              for m in models)),
-        "y": 1.0 / (1.0 + max(np.max(np.abs(m.b), initial=0.0)
-                              for m in models)),
-        "z": 1.0 / (1.0 + max(np.max(np.abs(m.h), initial=0.0)
-                              for m in models)),
+        "x": jnp.asarray(1.0 / (1.0 + max(np.max(np.abs(m.c), initial=0.0)
+                                          for m in models))),
+        "y": jnp.asarray(1.0 / (1.0 + max(np.max(np.abs(m.b), initial=0.0)
+                                          for m in models))),
+        "z": jnp.asarray(1.0 / (1.0 + max(np.max(np.abs(m.h), initial=0.0)
+                                          for m in models))),
     }
-
-    # fully fused batched solve: vmap of the on-device while_loop (JAX
-    # lifts the loop to run until every instance's cond is false, masking
-    # per-lane updates) — ONE device call for the whole batch
-    from hypatia_tpu.solvers import fused
-
     tols = {
         "tol_feas": jnp.asarray(ref_solver.tol_feas),
         "tol_rel_opt": jnp.asarray(ref_solver.tol_rel_opt),
@@ -174,32 +230,6 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         "tol_illposed": jnp.asarray(ref_solver.tol_illposed),
     }
 
-    from hypatia_tpu.ops import linalg as _linalg
-
-    @jax.jit
-    def solve_all(data_b, pt_b):
-        # batched while_loop with vmapped BODY: one device call, loop runs
-        # until every instance terminates. blocked_scope wraps the TRACE
-        # (this whole body runs at trace time): the blocked factorizations
-        # vectorize over the vmap lanes.
-        with _linalg.chol_tries(2), _linalg.blocked_scope():
-            # chol_tries(2): under vmap lax.cond lowers to select, so the
-            # full 4-attempt retry chain would always execute for all lanes
-            body_fn = fused.make_body(ctx, conv_tols, tols)
-            batched_body = jax.vmap(body_fn, in_axes=(0, 0))
-
-            def cond(carry):
-                return jnp.any((carry["status"] == 0)
-                               & (carry["it"] < iter_limit))
-
-            def body(carry):
-                return batched_body(data_b, carry)
-
-            carry0 = jax.vmap(lambda p: fused.init_carry(ctx, p))(pt_b)
-            out = jax.lax.while_loop(cond, body, carry0)
-        status = jnp.where(out["status"] == 0, 6, out["status"])
-        return out["pt"], status, out["it"]
-
     import os
 
     # scan-chunk length: iterations per device call in the host-driven
@@ -207,22 +237,7 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     # overshoot more iterations after every instance has terminated.
     chunk = int(os.environ.get("HYPATIA_TPU_BATCH_CHUNK", "16") or 16)
 
-    @jax.jit
-    def chunk_step_all(data_b, carry):
-        # lax.scan of the vmapped body: `chunk` iterations per device
-        # call, amortizing program dispatch (the batched while_loop
-        # crashes the TPU XLA compiler, but a fixed-trip scan compiles).
-        # Under vmap every lax.cond lowers to a select (both branches run
-        # for all lanes), so the cholesky retry chain would always pay all
-        # its factorizations — trace with a single recovery shift instead.
-        with _linalg.chol_tries(2), _linalg.blocked_scope():
-            body_fn = fused.make_body(ctx, conv_tols, tols)
-            batched = jax.vmap(body_fn, in_axes=(0, 0))
-
-            def sbody(c, _):
-                return batched(data_b, c), None
-
-            return jax.lax.scan(sbody, carry, None, length=chunk)[0]
+    from hypatia_tpu.solvers import fused
 
     # jitted so the reduction works on multi-process global arrays too
     # (eager ops on non-fully-addressable arrays are an error; a jitted
@@ -232,27 +247,29 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     def hostloop():
         # host-driven loop over scan chunks; one device call per `chunk`
         # iterations, host checks termination between chunks
-        carry = jax.jit(jax.vmap(
-            lambda p: fused.init_carry(ctx, p)))(pt_b)
+        carry = _init_carry_jit(ctx, pt_b)
         for _ in range(0, iter_limit, chunk):
-            carry = chunk_step_all(data_b, carry)
+            carry = _chunk_step_jit(ctx, chunk, data_b, carry, conv_tols,
+                                    tols)
             if not bool(any_active(carry["status"])):
                 break
         status = jnp.where(carry["status"] == 0, 6, carry["status"])
         return carry["pt"], status, carry["it"]
 
-    # CPU: fully fused batched while_loop (one device call). TPU: the
-    # batched while_loop used to crash XLA's memory-space-assignment pass
-    # with the NATIVE batched cholesky ops; with the blocked (matmul-only)
-    # factorizations in the vmapped body it is worth attempting again —
-    # opt in via HYPATIA_TPU_BATCH_FUSED=1, falling back to the chunked
-    # host loop on compile failure.
+    # CPU: fully fused batched while_loop (one device call). On TPU the
+    # fused while program compiles (with the blocked factorizations in the
+    # vmapped body; the native batched cholesky used to crash XLA) but the
+    # chunked scan executes the same bodies with ~1 host sync per `chunk`
+    # iterations and identical throughput — measured 441 aggregate it/s at
+    # nb=32 vs 113 it/s single-instance. Opt into the fused form with
+    # HYPATIA_TPU_BATCH_FUSED=1.
     fused_env = os.environ.get("HYPATIA_TPU_BATCH_FUSED", "")
     try_fused = (jax.default_backend() == "cpu"
                  or fused_env.lower() not in ("", "0", "false"))
     if try_fused:
         try:
-            pt_b, status_b, iters_b = solve_all(data_b, pt_b)
+            pt_b, status_b, iters_b = _solve_all_jit(
+                ctx, iter_limit, data_b, pt_b, conv_tols, tols)
         except Exception:
             pt_b, status_b, iters_b = hostloop()
     else:
