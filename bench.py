@@ -176,9 +176,15 @@ def main():
         wall = time.time() - t0
         tot_iters = sum(r["num_iters"] for r in res)
         n_opt = sum(r["status"] == "Optimal" for r in res)
+        from hypatia_tpu.parallel import batch as pbatch
+        tm = dict(pbatch.LAST_TIMERS)
+        device_s = tm.get("solve_s", wall)
         return {"batch": nb, "optimal": n_opt,
                 "total_iters": tot_iters, "solve_s": round(wall, 3),
-                "agg_iters_per_s": round(tot_iters / wall, 1)}
+                "agg_iters_per_s": round(tot_iters / wall, 1),
+                "device_solve_s": round(device_s, 3),
+                "device_agg_iters_per_s": round(tot_iters / device_s, 1),
+                "staging_s": round(tm.get("staging_s", 0.0), 3)}
     import sys
 
     # wall-clock budget: the driver kills the bench at an unknown timeout

@@ -36,8 +36,13 @@ def run(mode, nb=32, m=64, n=128):
     wall = time.time() - t0
     tot = sum(r["num_iters"] for r in res)
     nopt = sum(r["status"] == "Optimal" for r in res)
+    from hypatia_tpu.parallel import batch as pbatch
+    tm = dict(pbatch.LAST_TIMERS)
+    solve_s = tm.get("solve_s", wall)
     print(f"{mode}: optimal={nopt}/{nb} iters={tot} wall={wall:.2f}s "
-          f"agg={tot/wall:.1f} it/s (compile {compile_s:.0f}s)", flush=True)
+          f"agg={tot/wall:.1f} it/s device={tot/solve_s:.1f} it/s "
+          f"timers={ {k: round(v, 2) for k, v in tm.items()} } "
+          f"(compile {compile_s:.0f}s)", flush=True)
 
 
 def main():

@@ -189,7 +189,18 @@ def cholesky_shifted_and_inv(A, num_tries: int = None):
     if d == 0:
         return A, A, jnp.asarray(True)
 
-    if _use_blocked() and not jnp.iscomplexobj(A):
+    if (os.environ.get("HYPATIA_TPU_PALLAS_DD")
+            and jax.default_backend() == "tpu"
+            and not jnp.iscomplexobj(A) and A.ndim == 2):
+        # fused 2xf32 double-single Pallas kernel (opt-in until the TPU
+        # latency A/B lands; ~1e-14 relative accuracy, refinement covers
+        # the rest — see BASELINE.md Pallas memo)
+        from hypatia_tpu.ops import pallas_dd
+
+        def fact(M):
+            L, X = pallas_dd.dd_chol_and_tri_inv(M)
+            return L, X.swapaxes(-1, -2) @ X
+    elif _use_blocked() and not jnp.iscomplexobj(A):
         def fact(M):
             L, Li = blocked.blocked_chol_and_inv(M)
             return L, Li.swapaxes(-1, -2) @ Li

