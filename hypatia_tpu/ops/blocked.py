@@ -71,23 +71,29 @@ def _mT(M):
     return jnp.swapaxes(M, -1, -2)
 
 
-def blocked_chol_and_inv(A, base=16):
+def blocked_chol_and_inv(A, base=16, base_case=None):
     """(L, L^-1) of SPD (..., n, n) via recursive blocked factorization.
 
     L = [[L11, 0], [L21, L22]], L^-1 = [[X11, 0], [-X22 L21 X11, X22]].
     Sequential depth: n unrolled elementwise steps + O(n/base) matmuls.
+
+    ``base_case(A_blk) -> (L_blk, Linv_blk)`` overrides the unrolled
+    elementwise base kernel (e.g. the fused 2xf32 Pallas factorization
+    for large panels); it is only used on unbatched 2-D blocks.
     """
     n = A.shape[-1]
     if n == 0:
         return A, A
     if n <= base:
+        if base_case is not None and A.ndim == 2:
+            return base_case(A)
         L = _chol_unblocked(A)
         return L, _tri_inv_unblocked(L)
     m = _split(n, base)
-    L11, X11 = blocked_chol_and_inv(A[..., :m, :m], base)
+    L11, X11 = blocked_chol_and_inv(A[..., :m, :m], base, base_case)
     L21 = A[..., m:, :m] @ _mT(X11)
     S = A[..., m:, m:] - L21 @ _mT(L21)
-    L22, X22 = blocked_chol_and_inv(S, base)
+    L22, X22 = blocked_chol_and_inv(S, base, base_case)
     X21 = -(X22 @ (L21 @ X11))
     z = jnp.zeros(A.shape[:-2] + (m, n - m), dtype=A.dtype)
     L = jnp.concatenate([

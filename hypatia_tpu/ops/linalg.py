@@ -194,11 +194,13 @@ def cholesky_shifted_and_inv(A, num_tries: int = None):
             and not jnp.iscomplexobj(A) and A.ndim == 2):
         # fused 2xf32 double-single Pallas kernel (opt-in until the TPU
         # latency A/B lands; ~1e-14 relative accuracy, refinement covers
-        # the rest — see BASELINE.md Pallas memo)
+        # the rest — see BASELINE.md Pallas memo). Above the panel size,
+        # Pallas panels + XLA f64 (f32x3-emulated) MXU trailing updates.
         from hypatia_tpu.ops import pallas_dd
 
         def fact(M):
-            L, X = pallas_dd.dd_chol_and_tri_inv(M)
+            L, X = blocked.blocked_chol_and_inv(
+                M, base=256, base_case=pallas_dd.dd_chol_and_tri_inv)
             return L, X.swapaxes(-1, -2) @ X
     elif _use_blocked() and not jnp.iscomplexobj(A):
         def fact(M):
