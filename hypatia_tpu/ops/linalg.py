@@ -58,6 +58,41 @@ def in_blocked_scope():
     return _BLOCKED.get()
 
 
+def _use_pallas_dd(A):
+    """Default-on policy for the fused 2xf32 Pallas factorization on TPU:
+    unbatched real matrices (vmapped lanes keep the blocked kernels; the
+    Pallas kernel is per-matrix). Kill switch HYPATIA_TPU_NO_PALLAS_DD."""
+    if os.environ.get("HYPATIA_TPU_NO_PALLAS_DD"):
+        return False
+    dev = jax.config.jax_default_device
+    if dev is not None and dev.platform != "tpu":
+        return False  # inside a `with jax.default_device(cpu)` scope
+    return (jax.default_backend() == "tpu"
+            and not jnp.iscomplexobj(A) and A.ndim == 2
+            and A.dtype == jnp.float64)
+
+
+def _auto_blocked_any(A):
+    """Auto-dispatch policy for ALL real factorizations on accelerator
+    backends (not just the Schur): measured on TPU v5e, XLA's native
+    kernels have a ~0.3-0.5 ms latency floor that grows with size
+    (chol: 0.46/0.63/1.37/3.04/7.2 ms at n=8/16/32/64/128) while the
+    blocked kernels run 2-8x faster at every size (0.06/0.0/0.44/1.16/2.3)
+    — benchmarks/smallfact_r3.py, blocked_fresh_r3.py. Cone-oracle chains
+    (matrix cones' point_aux) are the dominant per-iteration cost on the
+    non-LP configs, so the policy covers them too. Opt out with
+    HYPATIA_TPU_NO_AUTO_BLOCKED (scoped opt-ins still apply)."""
+    if os.environ.get("HYPATIA_TPU_NO_BLOCKED"):
+        return False
+    if os.environ.get("HYPATIA_TPU_NO_AUTO_BLOCKED"):
+        return False
+    dev = jax.config.jax_default_device
+    if dev is not None and dev.platform == "cpu":
+        return False  # inside a `with jax.default_device(cpu)` scope
+    return (jax.default_backend() != "cpu"
+            and not jnp.iscomplexobj(A) and A.shape[-1] <= 512)
+
+
 def solve_tri(L, B, lower=True, trans=False):
     """Triangular solve wrapper (unit_diagonal=False).
 
@@ -71,10 +106,19 @@ def solve_tri(L, B, lower=True, trans=False):
 
 
 def cholesky(A):
-    """Lower Cholesky, dispatched: matmul-only blocked implementation on
-    accelerator backends for real dtypes (vectorizes under vmap; XLA's
-    native kernel serializes over batch axes on TPU), LAPACK elsewhere."""
-    if _use_blocked() and not jnp.iscomplexobj(A):
+    """Lower Cholesky, dispatched by measured TPU latency: fused Pallas dd
+    kernel for unbatched real f64 (0.067 ms at n=128), matmul-only blocked
+    implementation inside blocked scopes / auto policy (vectorizes under
+    vmap; XLA's native kernel serializes over batch axes on TPU), LAPACK
+    elsewhere."""
+    if _use_pallas_dd(A):
+        from hypatia_tpu.ops import pallas_dd
+
+        return blocked.blocked_chol_and_inv(
+            A, base=256, base_case=pallas_dd.dd_chol_and_tri_inv)[0] \
+            if A.shape[-1] > 256 else pallas_dd.dd_chol_and_tri_inv(A)[0]
+    if (_use_blocked() or _auto_blocked_any(A)) \
+            and not jnp.iscomplexobj(A):
         return blocked.blocked_cholesky(A)
     return jnp.linalg.cholesky(A)
 
@@ -125,10 +169,8 @@ def cholesky_shifted(A, num_tries: int = None):
     d = A.shape[-1]
     if d == 0:  # zero-variable models (e.g. pure feasibility problems)
         return A, jnp.asarray(True)
-    # blocked impl is real-only (no Hermitian-aware base case)
-    chol = (blocked.blocked_cholesky
-            if _use_blocked() and not jnp.iscomplexobj(A)
-            else jnp.linalg.cholesky)
+    # route through the module dispatcher (pallas-dd / blocked / native)
+    chol = cholesky
     L0 = chol(A)
     ok0 = chol_ok(L0)
     if num_tries <= 1:
@@ -189,13 +231,12 @@ def cholesky_shifted_and_inv(A, num_tries: int = None):
     if d == 0:
         return A, A, jnp.asarray(True)
 
-    if (os.environ.get("HYPATIA_TPU_PALLAS_DD")
-            and jax.default_backend() == "tpu"
-            and not jnp.iscomplexobj(A) and A.ndim == 2):
-        # fused 2xf32 double-single Pallas kernel (opt-in until the TPU
-        # latency A/B lands; ~1e-14 relative accuracy, refinement covers
-        # the rest — see BASELINE.md Pallas memo). Above the panel size,
-        # Pallas panels + XLA f64 (f32x3-emulated) MXU trailing updates.
+    if _use_pallas_dd(A):
+        # fused 2xf32 double-single Pallas kernel — the measured-fastest
+        # TPU factorization by a wide margin (n=128: 0.067 ms vs 3.5 ms
+        # blocked vs 8.7 ms native; ~1e-13 factor accuracy, refinement
+        # covers the rest — BASELINE.md Pallas memo). Above the panel
+        # size: Pallas panels + XLA f64 (f32x3-emulated) MXU updates.
         from hypatia_tpu.ops import pallas_dd
 
         def fact(M):
@@ -242,7 +283,8 @@ def cholesky_shifted_and_inv(A, num_tries: int = None):
 def tri_inverse(L, lower=True):
     """Explicit triangular inverse (blocked matmul-only on accelerator
     backends for real dtypes; one wide triangular solve elsewhere)."""
-    if _use_blocked() and not jnp.iscomplexobj(L):
+    if (_use_blocked() or _auto_blocked_any(L)) \
+            and not jnp.iscomplexobj(L):
         if lower:
             return blocked.blocked_tri_inverse(L)
         return jnp.swapaxes(
@@ -254,7 +296,13 @@ def tri_inverse(L, lower=True):
 def tri_solve(L, B, trans=False):
     """Dispatched lower-triangular solve (blocked substitution kernel
     inside blocked scopes for real dtypes, XLA native otherwise)."""
-    if _use_blocked() and not jnp.iscomplexobj(L):
+    # auto policy only for WIDE right-hand sides: the blocked substitution
+    # is n sequential steps regardless of width, a win over the native
+    # kernel only when many columns amortize it (scoped opt-ins apply
+    # unconditionally — vmapped lanes need the vectorizing kernels)
+    wide = B.ndim >= 2 and B.shape[-1] >= 16
+    if (_use_blocked() or (wide and _auto_blocked_any(L))) \
+            and not jnp.iscomplexobj(L):
         one_d = B.ndim == L.ndim - 1
         Bm = B[..., None] if one_d else B
         X = blocked.blocked_tri_solve(L, Bm, trans=trans)
@@ -268,7 +316,9 @@ def cho_solve(L, B):
     Inside blocked_scope the two triangular solves run as the blocked
     SUBSTITUTION kernels (backward stable, vmap-vectorizing) instead of
     XLA's sequential triangular_solve."""
-    if _use_blocked() and not jnp.iscomplexobj(L):
+    wide = B.ndim >= 2 and B.shape[-1] >= 16
+    if (_use_blocked() or (wide and _auto_blocked_any(L))) \
+            and not jnp.iscomplexobj(L):
         one_d = B.ndim == L.ndim - 1
         Bm = B[..., None] if one_d else B
         Y = blocked.blocked_tri_solve(L, Bm)
@@ -288,7 +338,8 @@ def chol_inverse(L):
     refinement in the direction solver absorbs the small accuracy loss of
     the explicit-inverse form).
     """
-    if _use_blocked() and not jnp.iscomplexobj(L):
+    if (_use_blocked() or _auto_blocked_any(L)) \
+            and not jnp.iscomplexobj(L):
         Li = blocked.blocked_tri_inverse(L)
     else:
         # broadcast to L's batch shape: jsl.solve_triangular's sharding

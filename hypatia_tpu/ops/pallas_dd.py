@@ -20,10 +20,16 @@ Reference analog: LAPACK dpotrf+dtrtri via `posdef_fact_copy!` /
 """
 
 import functools
+import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# tracing the kernel through pallas' transform wrappers recurses deeper
+# than CPython's default limit (observed RecursionError on the TPU
+# lowering path; interpret mode stays shallow)
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 _SPLIT = 4097.0  # 2^12 + 1: Dekker split constant for f32 (24-bit mantissa)
 
@@ -136,7 +142,11 @@ def _dd_chol_inv_kernel(ah_ref, al_ref, lh_ref, ll_ref, xh_ref, xl_ref):
         Ah, Al = dd_sub(Ah, Al, oh, ol)
         return Ah, Al, Lh, Ll
 
-    Ah, Al, Lh, Ll = jax.lax.fori_loop(0, n, chol_step, (Ah, Al, Lh, Ll))
+    # i32 loop bounds: under jax_enable_x64 Python-int bounds make the
+    # index i64, which Mosaic's convert lowering cannot handle (infinite
+    # _convert_helper recursion)
+    Ah, Al, Lh, Ll = jax.lax.fori_loop(
+        np.int32(0), np.int32(n), chol_step, (Ah, Al, Lh, Ll))
     lh_ref[:] = Lh
     ll_ref[:] = Ll
 
@@ -171,7 +181,8 @@ def _dd_chol_inv_kernel(ah_ref, al_ref, lh_ref, ll_ref, xh_ref, xl_ref):
         Xl = jnp.where(rmask, xil[None, :], Xl)
         return Xh, Xl
 
-    Xh, Xl = jax.lax.fori_loop(0, n, inv_step, (Xh, Xl))
+    Xh, Xl = jax.lax.fori_loop(np.int32(0), np.int32(n), inv_step,
+                               (Xh, Xl))
     xh_ref[:] = Xh
     xl_ref[:] = Xl
 
@@ -209,11 +220,16 @@ def dd_chol_and_tri_inv(A, interpret=False):
     ah, al = _to_dd(A)
     out_shape = [jax.ShapeDtypeStruct((npad, npad), jnp.float32)
                  for _ in range(4)]
-    lh, ll, xh, xl = pl.pallas_call(
-        _dd_chol_inv_kernel,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(ah, al)
+    # trace the kernel with x64 canonicalization OFF: under
+    # jax_enable_x64 scalar loop indices/constants canonicalize to 64-bit,
+    # and Mosaic's convert-element-type lowering recurses forever on
+    # 64-bit ints. Everything inside the kernel is explicitly 32-bit.
+    with jax.enable_x64(False):
+        lh, ll, xh, xl = pl.pallas_call(
+            _dd_chol_inv_kernel,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(ah, al)
     L = _from_dd(lh, ll)
     X = _from_dd(xh, xl)
     if npad != n:

@@ -108,9 +108,11 @@ def test_solver_on_blocked_path(monkeypatch):
 
 
 def test_blocked_scope_tracing(monkeypatch):
-    """blocked_scope() switches the dispatch at trace time (ContextVar):
-    inside the scope linalg.cholesky lowers to the blocked implementation,
-    outside it keeps the native kernel."""
+    """Dispatch policy at trace time: on accelerator backends the blocked
+    implementation is the default for real matrices (auto policy, round-3
+    smallfact measurements); HYPATIA_TPU_NO_AUTO_BLOCKED restores the
+    scope-only behavior, where blocked_scope() switches the dispatch via
+    the ContextVar."""
     import jax
 
     monkeypatch.setattr(linalg.jax, "default_backend", lambda: "tpu",
@@ -122,6 +124,14 @@ def test_blocked_scope_tracing(monkeypatch):
         # which would otherwise hide the ContextVar switch
         return str(jax.make_jaxpr(lambda x: linalg.cholesky(x))(A))
 
+    # default policy: the fused pallas dd kernel outside any scope
+    assert "pallas_call" in jaxpr_text()
+
+    # with pallas off: the blocked auto policy (no native primitive)
+    monkeypatch.setenv("HYPATIA_TPU_NO_PALLAS_DD", "1")
+    assert "cholesky" not in jaxpr_text()
+
+    monkeypatch.setenv("HYPATIA_TPU_NO_AUTO_BLOCKED", "1")
     with linalg.blocked_scope():
         txt_in = jaxpr_text()
     txt_out = jaxpr_text()
