@@ -197,15 +197,8 @@ def _from_dd(h, l):
     return h.astype(jnp.float64) + l.astype(jnp.float64)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dd_chol_and_tri_inv(A, interpret=False):
-    """(L, L^-1) of SPD A (f64 in/out) via the fused 2xf32 Pallas kernel.
-
-    A's side is padded to a multiple of 128 (VPU lane width) with an
-    identity extension (chol of blkdiag(A, I) = blkdiag(L, I)). Non-PSD
-    input propagates NaN through the pivot sqrt, matching
-    `linalg.chol_ok` semantics.
-    """
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _dd_core(A, interpret):
     from jax.experimental import pallas as pl
 
     n = A.shape[-1]
@@ -236,3 +229,32 @@ def dd_chol_and_tri_inv(A, interpret=False):
         L = L[:n, :n]
         X = X[:n, :n]
     return L, X
+
+
+@_dd_core.defjvp
+def _dd_core_jvp(interpret, primals, tangents):
+    """Exact factorization differential (pallas kernels have no AD rules;
+    cone oracles differentiate barriers that factor through here):
+
+        dL = L Phi(X dA X^T),  Phi = tril with halved diagonal
+        dX = -X dL X
+    """
+    (A,), (dA,) = primals, tangents
+    L, X = _dd_core(A, interpret)
+    F = X @ dA @ X.swapaxes(-1, -2)
+    Phi = jnp.tril(F) - 0.5 * jnp.diag(jnp.diagonal(F))
+    dL = L @ Phi
+    dX = -(X @ dL @ X)
+    return (L, X), (dL, dX)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dd_chol_and_tri_inv(A, interpret=False):
+    """(L, L^-1) of SPD A (f64 in/out) via the fused 2xf32 Pallas kernel.
+
+    A's side is padded to a multiple of 128 (VPU lane width) with an
+    identity extension (chol of blkdiag(A, I) = blkdiag(L, I)). Non-PSD
+    input propagates NaN through the pivot sqrt, matching
+    `linalg.chol_ok` semantics. Differentiable via an exact custom JVP.
+    """
+    return _dd_core(A, interpret)
