@@ -67,9 +67,14 @@ def _use_pallas_dd(A):
     dev = jax.config.jax_default_device
     if dev is not None and dev.platform != "tpu":
         return False  # inside a `with jax.default_device(cpu)` scope
+    # n >= 96: at small sizes the pad-to-128 pallas call (plus the unused
+    # inverse for chol-only callers, and lost XLA fusion) measurably LOSES
+    # to the blocked kernels inside cone-oracle chains — doptimaldesign
+    # 44.4 vs 69.5 it/s, polymin 39.3 vs 58.7 (solve A/B, round 3); at
+    # Schur sizes it wins big (linearopt 113.5 -> 198.3)
     return (jax.default_backend() == "tpu"
             and not jnp.iscomplexobj(A) and A.ndim == 2
-            and A.dtype == jnp.float64)
+            and A.dtype == jnp.float64 and A.shape[-1] >= 96)
 
 
 def _auto_blocked_any(A):

@@ -124,8 +124,12 @@ def test_blocked_scope_tracing(monkeypatch):
         # which would otherwise hide the ContextVar switch
         return str(jax.make_jaxpr(lambda x: linalg.cholesky(x))(A))
 
-    # default policy: the fused pallas dd kernel outside any scope
-    assert "pallas_call" in jaxpr_text()
+    # default policy: the fused pallas dd kernel for n >= 96
+    A_big = jnp.asarray(np.eye(128) * 4.0)
+    assert "pallas_call" in str(
+        jax.make_jaxpr(lambda x: linalg.cholesky(x))(A_big))
+    # below the threshold: blocked auto policy, no pallas
+    assert "pallas_call" not in jaxpr_text()
 
     # with pallas off: the blocked auto policy (no native primitive)
     monkeypatch.setenv("HYPATIA_TPU_NO_PALLAS_DD", "1")
