@@ -114,11 +114,14 @@ def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10,
     return out
 
 
-def _device_probe(timeout=600):
-    """Probe device claim + a trivial compile in a subprocess: if the TPU
-    pool is wedged (device claim hangs indefinitely — observed once after
-    a client was killed mid-remote-compile), fail fast with a diagnostic
-    instead of hanging the whole bench run."""
+def _device_probe(timeout=180, attempts=3, retry_wait=90):
+    """Probe device claim + a trivial compile/execute in a subprocess: if
+    the TPU pool is wedged (observed twice after a client was killed
+    mid-remote-compile: the claim still succeeds in ~10 s but every
+    compile/execute RPC hangs forever), fail fast with a diagnostic
+    instead of hanging the whole bench run.  The wedge can clear when the
+    stale remote session times out, so retry a few times before giving
+    up."""
     # sitecustomize pins the axon backend regardless of JAX_PLATFORMS, so
     # mirror tests/conftest.py and update the live config too (lets a
     # debug run probe CPU with JAX_PLATFORMS=cpu)
@@ -126,15 +129,30 @@ def _device_probe(timeout=600):
         "import os, jax;"
         "p = os.environ.get('JAX_PLATFORMS');"
         "p and jax.config.update('jax_platforms', p.split(',')[0]);"
+        "d = jax.devices();"
+        "print('claimed', d, flush=True);"
         "import jax.numpy as jnp;"
         "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
-    try:
-        out = subprocess.run([sys.executable, "-c", snippet],
-                             capture_output=True, text=True,
-                             timeout=timeout)
-        return out.returncode == 0, (out.stderr or "")[-300:]
-    except subprocess.TimeoutExpired:
-        return False, f"device probe timed out after {timeout}s"
+    diag = ""
+    for k in range(attempts):
+        if k:
+            time.sleep(retry_wait)
+        try:
+            out = subprocess.run([sys.executable, "-u", "-c", snippet],
+                                 capture_output=True, text=True,
+                                 timeout=timeout)
+            if out.returncode == 0:
+                return True, ""
+            diag = (out.stderr or "")[-300:]
+        except subprocess.TimeoutExpired as e:
+            stage = ("execute hung after claim"
+                     if e.stdout and b"claimed" in e.stdout
+                     else "device claim hung")
+            diag = f"probe attempt {k + 1}: {stage} ({timeout}s)"
+        print(f"[bench] {diag}; "
+              f"{attempts - k - 1} retries left", file=sys.stderr,
+              flush=True)
+    return False, diag
 
 
 def main():
