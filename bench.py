@@ -114,14 +114,17 @@ def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10,
     return out
 
 
-def _device_probe(timeout=180, attempts=3, retry_wait=90):
+def _device_probe(timeout=180, attempts=3, retry_wait=90,
+                  final_timeout=600):
     """Probe device claim + a trivial compile/execute in a subprocess: if
     the TPU pool is wedged (observed twice after a client was killed
     mid-remote-compile: the claim still succeeds in ~10 s but every
     compile/execute RPC hangs forever), fail fast with a diagnostic
     instead of hanging the whole bench run.  The wedge can clear when the
     stale remote session times out, so retry a few times before giving
-    up."""
+    up.  The FINAL attempt gets a longer timeout (cold/empty compile
+    caches or a slow remote-compile service can legitimately exceed the
+    short per-attempt budget — don't misclassify slow as wedged)."""
     # sitecustomize pins the axon backend regardless of JAX_PLATFORMS, so
     # mirror tests/conftest.py and update the live config too (lets a
     # debug run probe CPU with JAX_PLATFORMS=cpu)
@@ -137,21 +140,27 @@ def _device_probe(timeout=180, attempts=3, retry_wait=90):
     for k in range(attempts):
         if k:
             time.sleep(retry_wait)
+        last = k == attempts - 1
+        tmo = final_timeout if last else timeout
         try:
             out = subprocess.run([sys.executable, "-u", "-c", snippet],
                                  capture_output=True, text=True,
-                                 timeout=timeout)
+                                 timeout=tmo)
             if out.returncode == 0:
                 return True, ""
-            diag = (out.stderr or "")[-300:]
+            diag = (f"probe attempt {k + 1}: rc={out.returncode} "
+                    + (out.stderr or "")[-300:])
         except subprocess.TimeoutExpired as e:
-            stage = ("execute hung after claim"
-                     if e.stdout and b"claimed" in e.stdout
+            # normalize: POSIX CPython leaves TimeoutExpired.stdout as raw
+            # bytes despite text=True; elsewhere it may be str
+            so = e.stdout or b""
+            so = so if isinstance(so, bytes) else so.encode()
+            stage = ("execute hung after claim" if b"claimed" in so
                      else "device claim hung")
-            diag = f"probe attempt {k + 1}: {stage} ({timeout}s)"
-        print(f"[bench] {diag}; "
-              f"{attempts - k - 1} retries left", file=sys.stderr,
-              flush=True)
+            diag = f"probe attempt {k + 1}: {stage} ({tmo}s)"
+        if not last:
+            print(f"[bench] {diag}; {attempts - k - 1} retries left",
+                  file=sys.stderr, flush=True)
     return False, diag
 
 
@@ -173,23 +182,35 @@ def main():
         return
 
     # persistent compile cache: TPU remote compiles are slow (~minutes for
-    # the big fused programs); cache compiled binaries across runs
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # the big fused programs); cache compiled binaries across runs.
+    # Repo-local by default: /tmp evidently does NOT survive between the
+    # builder session and the driver's bench run (r03: doptimaldesign
+    # recompiled 608 s despite a primed /tmp cache), while the repo
+    # workspace does.  Override with JAX_COMPILATION_CACHE_DIR.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import hypatia_tpu  # noqa: F401
     import examples
 
+    # Order = skip priority under the wall-clock budget: the primary
+    # metric first (must never be skipped), then the cheap configs, and
+    # the compile-heavy doptimaldesign LAST (608 s cold compile ate the
+    # whole r03 budget and starved polymin/relentr/batch32).
     configs = [
         # primary: MXU-scale LP (Schur dim 1000)
         ("linearopt_1k", examples.linearopt, dict(m=1000, n=2000)),
         ("linearopt", examples.linearopt, dict(m=128, n=256)),
         ("portfolio", examples.portfolio, dict(num_stocks=100)),
-        ("doptimaldesign", examples.doptimaldesign,
-         dict(q=10, p=30, n=60, n_max=6, use_logdet=True)),
         ("polymin", examples.polymin, dict(poly="univariate_quartic")),
         ("relentr", examples.relentrentanglement, dict(na=2, nb=2)),
+        ("doptimaldesign", examples.doptimaldesign,
+         dict(q=10, p=30, n=60, n_max=6, use_logdet=True)),
     ]
     if os.environ.get("BENCH_FAST"):
         configs = configs[:1]
@@ -230,8 +251,13 @@ def main():
     def remaining():
         return budget_s - (time.time() - bench_t0)
 
+    # batch32 runs BEFORE the compile-heavy doptimaldesign (skip priority)
+    jobs = ([(n, m, p) for n, m, p in configs[:-1]]
+            + [("batch32_lp128", None, None)]
+            + [configs[-1]]) if len(configs) > 1 else list(configs)
+
     per_config = {}
-    for name, mod, params in configs:
+    for name, mod, params in jobs:
         if remaining() < 60:
             per_config[name] = {"status": "SKIPPED: bench budget exhausted"}
             continue
@@ -239,34 +265,27 @@ def main():
               file=sys.stderr, flush=True)
         t0 = time.time()
         try:
-            # phase profiling compiles ~20 extra program shapes (minutes
-            # of remote-compile wall on the tunneled TPU) — opt-in only
-            prof = (os.environ.get("BENCH_PROFILE", "")
-                    and name in ("linearopt", "doptimaldesign"))
-            res = run_config(mod, params, tol_relax=10, profile=prof)
-            res["tol_relax"] = 10
-            if (name == "relentr" and res["status"] != "Optimal"
-                    and remaining() > 60):
-                # quantum RE retry at extra relaxation (TPU eigh accuracy)
-                res = run_config(mod, params, tol_relax=100)
-                res["tol_relax"] = 100
-            per_config[name] = res
+            if name == "batch32_lp128":
+                per_config[name] = run_batch()
+            else:
+                # phase profiling compiles ~20 extra program shapes
+                # (minutes of remote-compile wall on the tunneled TPU) —
+                # opt-in only
+                prof = (os.environ.get("BENCH_PROFILE", "")
+                        and name in ("linearopt", "doptimaldesign"))
+                res = run_config(mod, params, tol_relax=10, profile=prof)
+                res["tol_relax"] = 10
+                if (name == "relentr" and res["status"] != "Optimal"
+                        and remaining() > 60):
+                    # quantum RE retry at extra relaxation (TPU eigh
+                    # accuracy)
+                    res = run_config(mod, params, tol_relax=100)
+                    res["tol_relax"] = 100
+                per_config[name] = res
         except Exception as e:  # keep the bench robust
             per_config[name] = {"status": f"ERROR: {type(e).__name__}: {e}"}
         print(f"[bench] {name} done in {time.time()-t0:.1f}s: "
               f"{per_config[name]}", file=sys.stderr, flush=True)
-
-    if remaining() > 90:
-        print("[bench] batch32 ...", file=sys.stderr, flush=True)
-        try:
-            per_config["batch32_lp128"] = run_batch()
-        except Exception as e:
-            per_config["batch32_lp128"] = {"status": f"ERROR: {e}"}
-        print(f"[bench] batch32 done: {per_config['batch32_lp128']}",
-              file=sys.stderr, flush=True)
-    else:
-        per_config["batch32_lp128"] = {
-            "status": "SKIPPED: bench budget exhausted"}
 
     print("[bench] cpu single-thread baseline ...", file=sys.stderr,
           flush=True)

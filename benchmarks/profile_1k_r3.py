@@ -42,16 +42,16 @@ def main():
     ctx, data = s.ctx, s.data
     from hypatia_tpu.solvers.structures import compute_iter_aux
     iter_aux = jax.jit(lambda pt: compute_iter_aux(ctx, pt))(s.final_point)
-    sys = jax.jit(lambda d, ia: syssolvers.update_lhs(ctx, d, ia))(
+    lhs_sys = jax.jit(lambda d, ia: syssolvers.update_lhs(ctx, d, ia))(
         data, iter_aux)
-    lhs = sys["schur_chol"] @ sys["schur_chol"].T  # SPD, right scale
+    lhs = lhs_sys["schur_chol"] @ lhs_sys["schur_chol"].T  # SPD, right scale
     d = {}
     d["fact_and_inv_ms"] = _phase_ms(
         lambda A: linalg.cholesky_shifted_and_inv(A), (lhs,))
     d["fact_only_ms"] = _phase_ms(
         lambda A: linalg.cholesky_shifted(A), (lhs,))
     GQ2 = data["GQ2"]
-    H = jnp.abs(jnp.ones((GQ2.shape[0],), dtype=GQ2.dtype))
+    H = jnp.ones((GQ2.shape[0],), dtype=GQ2.dtype)
     d["assembly_gemm_ms"] = _phase_ms(
         lambda G, h: G.T @ (h[:, None] * G), (GQ2, H))
     eye = jnp.eye(lhs.shape[-1], dtype=lhs.dtype)

@@ -58,12 +58,32 @@ def in_blocked_scope():
     return _BLOCKED.get()
 
 
+def _vmapped(x):
+    """True if `x` is (wrapped around) a vmap batching tracer.
+
+    The Pallas dd kernel is a per-matrix program; vmapped lanes must keep
+    the blocked (vmap-vectorizing) kernels.  A value produced inside
+    `jax.vmap` carries a BatchTracer somewhere in its tracer stack — walk
+    it (grad/jvp wrap BatchTracers in JVPTracers exposing `.primal`)."""
+    from jax._src.interpreters import batching
+
+    seen = 0
+    while isinstance(x, jax.core.Tracer) and seen < 16:
+        if isinstance(x, batching.BatchTracer):
+            return True
+        x = getattr(x, "primal", getattr(x, "val", None))
+        seen += 1
+    return False
+
+
 def _use_pallas_dd(A):
     """Default-on policy for the fused 2xf32 Pallas factorization on TPU:
     unbatched real matrices (vmapped lanes keep the blocked kernels; the
     Pallas kernel is per-matrix). Kill switch HYPATIA_TPU_NO_PALLAS_DD."""
     if os.environ.get("HYPATIA_TPU_NO_PALLAS_DD"):
         return False
+    if _vmapped(A):
+        return False  # vmapped lanes keep the blocked kernels
     dev = jax.config.jax_default_device
     if dev is not None and dev.platform != "tpu":
         return False  # inside a `with jax.default_device(cpu)` scope
