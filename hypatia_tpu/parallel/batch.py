@@ -54,6 +54,18 @@ def _chunk_step_jit(ctx, chunk, data_b, carry, conv_tols, tols):
         return jax.lax.scan(sbody, carry, None, length=chunk)[0]
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _conv_jit(ctx, data_b, conv_tols, pt_b):
+    """Batched convergence quantities for result extraction; module-level
+    (an inline jit(vmap(lambda ...)) is a NEW function object per call —
+    retrace + recompile on every solve_batch)."""
+    return jax.vmap(
+        lambda d, p: calc_convergence(ctx, d, conv_tols, p))(data_b, pt_b)
+
+
+_ANY_ACTIVE = jax.jit(lambda st: jnp.any(st == 0))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _solve_all_jit(ctx, iter_limit, data_b, pt_b, conv_tols, tols):
     """Fully fused batched solve: one while_loop over the vmapped body."""
@@ -92,6 +104,14 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     import time as _time
 
     _t0 = _time.time()
+    _marks = {"t": _t0}
+
+    def _mark(name):
+        now = _time.time()
+        LAST_TIMERS[f"stage_{name}_s"] = round(now - _marks["t"], 4)
+        _marks["t"] = now
+
+    LAST_TIMERS.clear()
     solver_options = dict(solver_options or {})
     solver_options.setdefault("verbose", False)
     nb = len(models)
@@ -119,6 +139,7 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
                                        tuple(m0.cone_idxs))
     else:
         g_cones, g_idxs = tuple(m0.cones), tuple(m0.cone_idxs)
+    _mark("setup")
     ctx = StepContext(
         cones=g_cones, cone_idxs=g_idxs,
         n=m0.n, p=m0.p, q=m0.q, nu=m0.nu,
@@ -136,14 +157,20 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         return np.stack([np.asarray(getattr(m, key)) for m in models])
 
     data_b = {k: stack(k) for k in ("c", "A", "b", "G", "h")}
+    _mark("stack")
     if syssolver == "qrchol":
         import scipy.linalg
 
         if m0.p > 0:
+            # staging works on the stacked NumPy copies, NOT model.A /
+            # model.G directly: those are committed jax arrays, and mixing
+            # them into the host loop dispatches an eager jax op per
+            # instance (measured 2.1 s of the 2.0 s staging wall at nb=32)
+            A_np, G_np = data_b["A"], data_b["G"]
             Qs, Rs, GQ1s, GQ2s = [], [], [], []
-            for m in models:
-                Q, R = scipy.linalg.qr(m.A.T, mode="full")
-                GQ = m.G @ Q
+            for i in range(nb):
+                Q, R = scipy.linalg.qr(A_np[i].T, mode="full")
+                GQ = G_np[i] @ Q
                 Qs.append(Q)
                 Rs.append(R[:m0.p, :m0.p])
                 GQ1s.append(GQ[:, :m0.p])
@@ -157,6 +184,7 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
             data_b["GQ2"] = np.stack(GQ2s)
         else:
             data_b["GQ2"] = data_b["G"]
+    _mark("qr")
 
     # initial points
     init_z = np.zeros((nb, m0.q))
@@ -181,18 +209,20 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
 
     init_x = np.zeros((nb, m0.n))
     init_y = np.zeros((nb, m0.p))
-    for i, m in enumerate(models):
-        AG = np.vstack([m.A, m.G])
-        rhs = np.concatenate([m.b, m.h - init_s[i]])
+    for i in range(nb):
+        AG = np.vstack([data_b["A"][i], data_b["G"][i]])
+        rhs = np.concatenate([data_b["b"][i], data_b["h"][i] - init_s[i]])
         init_x[i], *_ = np.linalg.lstsq(AG, rhs, rcond=None)
-        if m.p:
-            rhs_y = -m.c - m.G.T @ init_z[i]
-            init_y[i], *_ = np.linalg.lstsq(m.A.T, rhs_y, rcond=None)
+        if m0.p:
+            rhs_y = -data_b["c"][i] - data_b["G"][i].T @ init_z[i]
+            init_y[i], *_ = np.linalg.lstsq(data_b["A"][i].T, rhs_y,
+                                            rcond=None)
 
     pt_b = {
         "x": init_x, "y": init_y, "z": init_z, "s": init_s,
         "tau": np.ones(nb), "kap": np.ones(nb),
     }
+    _mark("init")
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -250,7 +280,7 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     # jitted so the reduction works on multi-process global arrays too
     # (eager ops on non-fully-addressable arrays are an error; a jitted
     # reduction produces a replicated, addressable scalar)
-    any_active = jax.jit(lambda st: jnp.any(st == 0))
+    any_active = _ANY_ACTIVE
 
     def hostloop():
         # host-driven loop over scan chunks; one device call per `chunk`
@@ -273,7 +303,6 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     # back to the chunked scan loop, also used on any compile failure).
     fused_env = os.environ.get("HYPATIA_TPU_BATCH_FUSED", "")
     try_fused = fused_env.lower() not in ("0", "false")
-    LAST_TIMERS.clear()
     LAST_TIMERS["staging_s"] = _time.time() - _t0
     _t0 = _time.time()
     if try_fused:
@@ -288,8 +317,7 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     LAST_TIMERS["solve_s"] = _time.time() - _t0
     _t0 = _time.time()
 
-    conv = jax.jit(jax.vmap(
-        lambda d, p: calc_convergence(ctx, d, conv_tols, p)))(data_b, pt_b)
+    conv = _conv_jit(ctx, data_b, conv_tols, pt_b)
 
     # fetch to host (multi-process: allgather the non-addressable shards)
     from hypatia_tpu.parallel import multihost

@@ -147,7 +147,10 @@ def allgather_to_host(tree):
     import jax
 
     if jax.process_count() == 1:
-        return jax.tree_util.tree_map(np.asarray, tree)
+        # device_get prefetches every leaf asynchronously before blocking:
+        # ONE round trip over the tunneled link instead of a synchronous
+        # per-leaf fetch (measured ~1.1 s of per-leaf round trips at nb=32)
+        return jax.device_get(tree)
     from jax.experimental import multihost_utils
 
     return multihost_utils.process_allgather(tree, tiled=True)
