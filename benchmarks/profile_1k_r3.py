@@ -21,7 +21,7 @@ from hypatia_tpu.solvers.profile import profile_phases, _phase_ms
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     m, n = 1000, 2000

@@ -141,7 +141,3 @@ BENCH = [dict(beta=0.7, M_deg=6)]
 # analytic center is slow; run the example-test protocol relaxed
 TEST_OPTIONS = dict(default_tol_relax=100)
 TEST_VIOL_BOUND = 1e-4
-# pure feasibility instance (c = 0): stalls at x_feas ~ 4e-6 on the
-# boundary regardless of oracle formulation — accept a stalled status as
-# long as the certificate violation bound holds
-TEST_ALLOW_STALL = True

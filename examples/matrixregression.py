@@ -69,10 +69,5 @@ def build(n: int = 5, p: int = 3, m: int = 4, lam_nuc: float = 0.1,
 
 
 MINIMAL = [dict(n=4, p=2, m=3)]
-# the MINIMAL nuclear-norm optimum is not strictly complementary (the
-# residual matrix is rank-deficient), so the final status (Optimal vs
-# SlowProgress at the same objective to 7 digits) can flip with fp
-# reduction order across backends; the certificate bound is still enforced
-TEST_ALLOW_STALL = True
 FAST = [dict(n=10, p=5, m=8, lam_fro=0.05)]
 BENCH = [dict(n=100, p=30, m=50)]

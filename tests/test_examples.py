@@ -41,16 +41,7 @@ def test_minimal_instance(name, params):
     opts = getattr(mod, "TEST_OPTIONS", dict(default_tol_relax=10))
     viol_bound = getattr(mod, "TEST_VIOL_BOUND", 1e-6)
     record = run_instance(mod, params, solver_options=opts)
-    if (getattr(mod, "TEST_ALLOW_STALL", False)
-            and record["status"] in ("SlowProgress", "NumericalFailure",
-                                     "NearOptimal")):
-        # boundary feasibility instances (objective identically zero at a
-        # non-strict optimum) stall within ~1e-6 of feasibility; which side
-        # of the tolerance they land on varies with fp reduction order.
-        # The certificate bound below is still enforced.
-        pass
-    else:
-        assert record["status"] == "Optimal", record
+    assert record["status"] == "Optimal", record
     # relative certificate-violation bound under the relaxed stop
     # tolerances (residuals normalized as in `Solvers.jl:485-528`)
     assert record["max_viol"] < viol_bound, record
