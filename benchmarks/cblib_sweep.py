@@ -27,15 +27,18 @@ def main():
 
     if jax.default_backend() not in ("cpu",) and "--tpu" not in sys.argv:
         pass  # run wherever invoked; compile cache helps on TPU
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from benchmarks.cblib_local import write_all
+    from benchmarks.cblib_local import write_all, write_midsize
     from hypatia_tpu.interface.cbf import read_cbf
     from hypatia_tpu import Solver
 
     paths = write_all(args.dir)
+    # mid-size synthetic namesakes of the reference's 10-instance CBLIB
+    # protocol list (no egress: real files are not downloadable here)
+    paths += write_midsize(args.dir)
     vendored = ("/root/reference/examples/CBLIB/cblib_data/"
                 "expdesign_D_8_4.cbf.gz")
     if os.path.exists(vendored):

@@ -29,12 +29,18 @@ def _free_port():
 
 
 def launch(nprocs, module, module_args=(), local_devices=2,
-           platform="cpu", timeout=600):
+           platform="cpu", timeout=600, pin_cores=False):
     """Spawn `nprocs` controller processes running `python -m module`.
 
     Returns the list of CompletedProcess results (raises on nonzero exit).
+
+    ``pin_cores=True`` gives each process a DISJOINT physical core set
+    (taskset): without it, N "hosts" on one machine contend for the same
+    cores and a weak-scaling measurement reads contention, not scaling.
+    Requires nprocs <= os.cpu_count(); cores are split evenly.
     """
     port = _free_port()
+    cpu_count = os.cpu_count() or 1
     procs = []
     for pid in range(nprocs):
         env = dict(os.environ)
@@ -46,9 +52,13 @@ def launch(nprocs, module, module_args=(), local_devices=2,
             "HYPATIA_MH_LOCAL_DEVICES": str(local_devices),
             "JAX_PLATFORMS": platform,
         })
+        cmd = [sys.executable, "-m", module, *module_args]
+        if pin_cores and nprocs <= cpu_count:
+            per = cpu_count // nprocs
+            lo, hi = pid * per, pid * per + per - 1
+            cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", module, *module_args],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True))
     results = []
     failed = []

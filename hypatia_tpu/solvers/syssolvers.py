@@ -27,6 +27,8 @@ The 6->4->3 lifting (two-RHS trick for tau) follows
 `systemsolvers/common.jl:129-211`.
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -99,6 +101,7 @@ def update_lhs(ctx, data, iter_aux):
         sqrt_ks = [k for k, c in enumerate(ctx.cones)
                    if ctx.schur_syrk and c.has_sqrt_oracles]
         gemm_ks = [k for k in range(len(ctx.cones)) if k not in sqrt_ks]
+        mixed = bool(sqrt_ks) and bool(gemm_ks)
         UGQ2 = jnp.zeros_like(GQ2) if sqrt_ks else None
         for k in sqrt_ks:
             start, dim = ctx.cone_idxs[k]
@@ -110,15 +113,33 @@ def update_lhs(ctx, data, iter_aux):
             start, dim = ctx.cone_idxs[k]
             Hk = block_hess_prod(ctx, iter_aux, k, GQ2[start:start + dim, :])
             HGQ2 = HGQ2.at[start:start + dim, :].set(Hk)
+        if mixed:
+            # fold both forms into ONE full-width matmul: with L = UGQ2 +
+            # GQ2 masked to the gemm rows and R = UGQ2 + HGQ2, the row
+            # supports of the two forms are disjoint, so every syrk/gemm
+            # cross term in L'R vanishes exactly and L'R = UGQ2'UGQ2 +
+            # GQ2_g' HGQ2_g — half the assembly FLOPs of two zero-padded
+            # full-width matmuls (the q x (n-p)^2 syrk is the dominant
+            # assembly cost at MXU scale)
+            gmask = np.zeros((ctx.q, 1))
+            for k in gemm_ks:
+                start, dim = ctx.cone_idxs[k]
+                gmask[start:start + dim] = 1.0
+            # trace-time constant mask: one fused multiply-add, no
+            # per-group dynamic-update-slice chain
+            Lmat = UGQ2 + jnp.asarray(gmask, dtype=GQ2.dtype) * GQ2
+            Rmat = UGQ2 + HGQ2
+        elif sqrt_ks:
+            Lmat = Rmat = UGQ2
+        else:
+            Lmat, Rmat = GQ2, HGQ2
 
-        def accumulate(GQ2, UGQ2, HGQ2):
-            lhs = 0.0
-            if UGQ2 is not None:
-                lhs = UGQ2.T @ UGQ2
-            if HGQ2 is not None:
-                gl = GQ2.T @ HGQ2
-                lhs = lhs + (gl + gl.T) / 2
-            return lhs
+        def accumulate(Lmat, Rmat):
+            lhs = Lmat.T @ Rmat
+            # the gemm form needs explicit symmetrization (H_k products
+            # are only symmetric up to roundoff); the syrk part is exactly
+            # symmetric already, so the global symmetrization is harmless
+            return (lhs + lhs.T) / 2
 
         if ctx.shard_axis is not None:
             # row-shard the cone axis (zero-padded to the device count):
@@ -129,15 +150,13 @@ def update_lhs(ctx, data, iter_aux):
             pad = (-GQ2.shape[0]) % ndev
 
             def padc(M):
-                if M is None:
-                    return None
                 Mp = jnp.pad(M, ((0, pad), (0, 0)))
                 return shard.constrain(Mp, ctx.shard_axis, None)
 
-            lhs = accumulate(padc(GQ2), padc(UGQ2), padc(HGQ2))
+            lhs = accumulate(padc(Lmat), padc(Rmat))
             lhs = shard.constrain(lhs, None, None)
         else:
-            lhs = accumulate(GQ2, UGQ2, HGQ2)
+            lhs = accumulate(Lmat, Rmat)
         # factorization: on TPU the native chol+inverse is latency-bound
         # (8.7 ms at n=128); the blocked combined kernel is 3.6 ms
         # (auto_blocked_schur policy + measurements)
