@@ -101,7 +101,16 @@ def update_lhs(ctx, data, iter_aux):
         sqrt_ks = [k for k, c in enumerate(ctx.cones)
                    if ctx.schur_syrk and c.has_sqrt_oracles]
         gemm_ks = [k for k in range(len(ctx.cones)) if k not in sqrt_ks]
-        mixed = bool(sqrt_ks) and bool(gemm_ks)
+        import os as _os
+        # Fold the two forms into one matmul only when the assembly is
+        # FLOP-relevant (q*(n-p)^2 >= 2^24): at small sizes both matmuls
+        # are latency-bound so the fold buys nothing, and its (tiny)
+        # summation-order roundoff change can flip borderline trajectories
+        # (observed: conditionnum side=3 Optimal/10 -> NearOptimal/25).
+        nm = GQ2.shape[1]
+        flop_relevant = ctx.q * nm * nm >= (1 << 24)
+        mixed = (bool(sqrt_ks) and bool(gemm_ks) and flop_relevant
+                 and not _os.environ.get("HYPATIA_TPU_NO_SCHUR_FOLD"))
         UGQ2 = jnp.zeros_like(GQ2) if sqrt_ks else None
         for k in sqrt_ks:
             start, dim = ctx.cone_idxs[k]
@@ -120,22 +129,27 @@ def update_lhs(ctx, data, iter_aux):
             # cross term in L'R vanishes exactly and L'R = UGQ2'UGQ2 +
             # GQ2_g' HGQ2_g — half the assembly FLOPs of two zero-padded
             # full-width matmuls (the q x (n-p)^2 syrk is the dominant
-            # assembly cost at MXU scale)
+            # assembly cost at MXU scale). A/B switch:
+            # HYPATIA_TPU_NO_SCHUR_FOLD restores the two-matmul form.
             gmask = np.zeros((ctx.q, 1))
             for k in gemm_ks:
                 start, dim = ctx.cone_idxs[k]
                 gmask[start:start + dim] = 1.0
             # trace-time constant mask: one fused multiply-add, no
             # per-group dynamic-update-slice chain
-            Lmat = UGQ2 + jnp.asarray(gmask, dtype=GQ2.dtype) * GQ2
-            Rmat = UGQ2 + HGQ2
+            pairs = [(UGQ2 + jnp.asarray(gmask, dtype=GQ2.dtype) * GQ2,
+                      UGQ2 + HGQ2)]
+        elif bool(sqrt_ks) and bool(gemm_ks):
+            pairs = [(UGQ2, UGQ2), (GQ2, HGQ2)]  # unfolded (A/B switch)
         elif sqrt_ks:
-            Lmat = Rmat = UGQ2
+            pairs = [(UGQ2, UGQ2)]
         else:
-            Lmat, Rmat = GQ2, HGQ2
+            pairs = [(GQ2, HGQ2)]
 
-        def accumulate(Lmat, Rmat):
-            lhs = Lmat.T @ Rmat
+        def accumulate(pairs):
+            lhs = 0.0
+            for Lmat, Rmat in pairs:
+                lhs = lhs + Lmat.T @ Rmat
             # the gemm form needs explicit symmetrization (H_k products
             # are only symmetric up to roundoff); the syrk part is exactly
             # symmetric already, so the global symmetrization is harmless
@@ -153,10 +167,10 @@ def update_lhs(ctx, data, iter_aux):
                 Mp = jnp.pad(M, ((0, pad), (0, 0)))
                 return shard.constrain(Mp, ctx.shard_axis, None)
 
-            lhs = accumulate(padc(Lmat), padc(Rmat))
+            lhs = accumulate([(padc(L_), padc(R_)) for L_, R_ in pairs])
             lhs = shard.constrain(lhs, None, None)
         else:
-            lhs = accumulate(Lmat, Rmat)
+            lhs = accumulate(pairs)
         # factorization: on TPU the native chol+inverse is latency-bound
         # (8.7 ms at n=128); the blocked combined kernel is 3.6 ms
         # (auto_blocked_schur policy + measurements)
