@@ -139,6 +139,7 @@ class Solver:
         near_factor=1000.0,
         schur_syrk=True,
         naiveelim_inv_hess=True,
+        schur_acc_solve=None,
         group_cones=True,
         fused=None,
         dtype=np.float64,
@@ -184,6 +185,15 @@ class Solver:
             shift_sched=shift_sched,
             schur_syrk=schur_syrk,
             naiveelim_inv_hess=naiveelim_inv_hess,
+            # refinement-correction solve: on accelerators the two
+            # sequential triangular solves are latency-bound (~10 ms at
+            # n=1000, the dominant getdir cost at MXU scale); the all-MXU
+            # inverse+2-Richardson form has equal observed accuracy
+            # (conditionnum canary + full suite). CPU keeps the LAPACK
+            # triangular solves (faster AND backward stable there).
+            schur_acc_solve=(schur_acc_solve if schur_acc_solve is not None
+                             else ("chol" if jax.default_backend() == "cpu"
+                                   else "inv_corr")),
         )
         self.max_ref_steps = max_ref_steps
         #: NearOptimal relaxed termination: when the solve stalls

@@ -50,6 +50,12 @@ class StepContext:
     #: naiveelim: use the (mu H)^-1 z-row form (`naiveelim.jl` use_inv_hess,
     #: the reference default) instead of the H-form
     naiveelim_inv_hess: bool = True
+    #: qrchol refinement-correction solve: "chol" = two triangular solves
+    #: through the Schur factor (XLA native, sequential/latency-bound on
+    #: TPU); "inv_corr" = explicit-inverse matvec + 2 Richardson
+    #: corrections through the stored Schur matrix (all-MXU; equal
+    #: backward accuracy in the measured regime — benchmarks/getdir_r4.py)
+    schur_acc_solve: str = "chol"
     #: mesh axis name for row-sharding the cone (q) axis of the Schur
     #: assembly in update_lhs (None = unsharded); mesh_key makes distinct
     #: meshes distinct jit cache entries
@@ -64,7 +70,8 @@ class StepContext:
             self.max_cent_steps, self.pred_prox_bound, self.shift_sched,
             self.min_prox, self.prox_bound, self.use_max_prox,
             self.alpha_sched, self.max_ref_steps, self.schur_syrk,
-            self.naiveelim_inv_hess, self.shard_axis, self.mesh_key,
+            self.naiveelim_inv_hess, self.schur_acc_solve,
+            self.shard_axis, self.mesh_key,
         )
 
     def __hash__(self):

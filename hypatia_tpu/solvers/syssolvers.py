@@ -180,6 +180,8 @@ def update_lhs(ctx, data, iter_aux):
         sys["schur_chol"] = L
         sys["schur_inv"] = inv
         sys["schur_ok"] = ok
+        if ctx.schur_acc_solve == "inv_corr":
+            sys["schur_lhs"] = lhs  # corrections go through the matrix
     elif ctx.syssolver == "symindef":
         npq = ctx.n + ctx.p + ctx.q
         A, G = data["A"], data["G"]
@@ -414,11 +416,23 @@ def solve_subsystem3(ctx, data, iter_aux, sys, rx, ry, rz,
     else:
         Q2div = Qb
     if accurate and "schur_chol" in sys:
-        # refinement corrections: solve through the Cholesky factor (two
-        # triangular solves) — the explicit inverse's forward error
-        # ~cond(S)*eps stalls refinement at ~1e-5 residuals near
-        # convergence on degenerate instances (cond(S) ~ 1/mu^2)
-        x2 = linalg.cho_solve(sys["schur_chol"], Q2div[:, None])[:, 0]
+        if ctx.schur_acc_solve == "inv_corr":
+            # all-MXU correction solve: explicit-inverse matvec + 2
+            # Richardson corrections through the STORED Schur matrix —
+            # forward error ~cond(S)*eps^?; measured equal to the
+            # triangular-solve path at n=1024 while replacing two
+            # sequential latency-bound trisolves with 5 matvecs
+            # (benchmarks/getdir_r4.py)
+            S, Si = sys["schur_lhs"], sys["schur_inv"]
+            x2 = Si @ Q2div
+            x2 = x2 + Si @ (Q2div - S @ x2)
+            x2 = x2 + Si @ (Q2div - S @ x2)
+        else:
+            # refinement corrections: solve through the Cholesky factor
+            # (two triangular solves) — the explicit inverse's forward
+            # error ~cond(S)*eps stalls refinement at ~1e-5 residuals
+            # near convergence on degenerate instances (cond(S) ~ 1/mu^2)
+            x2 = linalg.cho_solve(sys["schur_chol"], Q2div[:, None])[:, 0]
     else:
         x2 = sys["schur_inv"] @ Q2div
     if p > 0:

@@ -52,6 +52,9 @@ ALL_CONFIGS = [
          naiveelim_inv_hess=False),
     dict(syssolver="qrchol", schur_syrk=False),
     dict(syssolver="qrchol", group_cones=False),
+    # the accelerator-default refinement-correction solve (inverse +
+    # Richardson), exercised on CPU where "chol" is the default
+    dict(syssolver="qrchol", schur_acc_solve="inv_corr"),
     # indirect solvers are tested at relaxed tolerances, like the
     # reference's inst_indirect set (`nativesets.jl:169-175`)
     dict(syssolver="symindef_indirect", preprocess=False, reduce=False,
