@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+_p = os.environ.get("JAX_PLATFORMS")
+if _p:  # sitecustomize pins axon; honor an explicit platform override
+    jax.config.update("jax_platforms", _p.split(",")[0])
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -36,7 +39,7 @@ def build_manycone(n_lp=500, n_soc=500, nx=400, seed=3):
     x0 = np.ones(nx) / nx
     cone_list, G_rows, h_rows = [], [], []
     for _ in range(n_lp):
-        Gk = -(rng.random((2, nx)) < 0.05) * rng.random((2, nx))
+        Gk = -((rng.random((2, nx)) < 0.05) * rng.random((2, nx)))
         hk = -(Gk @ x0) + 0.1 + 0.1 * rng.random(2)
         cone_list.append(cones.Nonnegative(2))
         G_rows.append(Gk)
