@@ -66,9 +66,18 @@ def _conv_jit(ctx, data_b, conv_tols, pt_b):
 _ANY_ACTIVE = jax.jit(lambda st: jnp.any(st == 0))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _solve_all_jit(ctx, iter_limit, data_b, pt_b, conv_tols, tols):
-    """Fully fused batched solve: one while_loop over the vmapped body."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _solve_all_jit(ctx, iter_limit, check_every, data_b, pt_b, conv_tols,
+                   tols):
+    """Fully fused batched solve: one while_loop over the vmapped body.
+
+    check_every > 1 amortizes the while_loop termination test — on a
+    multi-process (DCN) mesh `jnp.any` over the sharded batch is a
+    cross-process all-reduce EVERY iteration (~ms on gRPC); running
+    `check_every` iterations per cond evaluation trades up to
+    check_every-1 masked (frozen-lane) overshoot iterations for 1/k the
+    synchronization stalls (the weak-scaling lever measured in
+    benchmarks/mh_efficiency_r4.py)."""
     from hypatia_tpu.ops import linalg as _linalg
     from hypatia_tpu.solvers import fused
 
@@ -81,7 +90,11 @@ def _solve_all_jit(ctx, iter_limit, data_b, pt_b, conv_tols, tols):
                            & (carry["it"] < iter_limit))
 
         def body(carry):
-            return batched_body(data_b, carry)
+            if check_every == 1:
+                return batched_body(data_b, carry)
+            return jax.lax.scan(
+                lambda c, _: (batched_body(data_b, c), None),
+                carry, None, length=check_every)[0]
 
         carry0 = jax.vmap(lambda p: fused.init_carry(ctx, p))(pt_b)
         out = jax.lax.while_loop(cond, body, carry0)
@@ -303,12 +316,18 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     # back to the chunked scan loop, also used on any compile failure).
     fused_env = os.environ.get("HYPATIA_TPU_BATCH_FUSED", "")
     try_fused = fused_env.lower() not in ("0", "false")
+    # termination-test amortization (see _solve_all_jit): default 1 in
+    # single-process runs (the any() is an on-chip reduction, ~free), 8
+    # on multi-process meshes (it is a DCN all-reduce there)
+    check_every = int(os.environ.get("HYPATIA_TPU_TERM_CHECK_EVERY")
+                      or (8 if jax.process_count() > 1 else 1))
     LAST_TIMERS["staging_s"] = _time.time() - _t0
     _t0 = _time.time()
     if try_fused:
         try:
             pt_b, status_b, iters_b = _solve_all_jit(
-                ctx, iter_limit, data_b, pt_b, conv_tols, tols)
+                ctx, iter_limit, check_every, data_b, pt_b, conv_tols,
+                tols)
         except Exception:
             pt_b, status_b, iters_b = hostloop()
     else:
