@@ -114,17 +114,19 @@ def run_config(mod, params, iter_limit=200, warm=True, tol_relax=10,
     return out
 
 
-def _device_probe(timeout=180, attempts=3, retry_wait=90,
+def _device_probe(timeout=420, attempts=2, retry_wait=60,
                   final_timeout=600):
     """Probe device claim + a trivial compile/execute in a subprocess: if
     the TPU pool is wedged (observed twice after a client was killed
     mid-remote-compile: the claim still succeeds in ~10 s but every
     compile/execute RPC hangs forever), fail fast with a diagnostic
     instead of hanging the whole bench run.  The wedge can clear when the
-    stale remote session times out, so retry a few times before giving
-    up.  The FINAL attempt gets a longer timeout (cold/empty compile
-    caches or a slow remote-compile service can legitimately exceed the
-    short per-attempt budget — don't misclassify slow as wedged)."""
+    stale remote session times out, so retry before giving up.  FEW,
+    LONG attempts (r4 lesson): every probe kill orphans its in-flight
+    remote-compile job, and orphaned jobs serialize the service queue —
+    a 3x180s kill-retry loop measurably made the wedge worse, while a
+    single patient attempt cleared at ~350-500s. The final attempt gets
+    the longest timeout (don't misclassify slow as wedged)."""
     # sitecustomize pins the axon backend regardless of JAX_PLATFORMS, so
     # mirror tests/conftest.py and update the live config too (lets a
     # debug run probe CPU with JAX_PLATFORMS=cpu)
