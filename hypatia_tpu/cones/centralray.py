@@ -31,15 +31,24 @@ def solve_central_ray(barrier_fn, expand, reduce_dim, x0, tol=1e-12,
     import jax
     import jax.numpy as jnp
 
-    cpu = jax.devices("cpu")[0]
+    try:
+        cpu = jax.devices("cpu")[0]
+        dev_ctx = lambda: jax.default_device(cpu)  # noqa: E731
+    except RuntimeError:
+        # accelerator-only platform (e.g. the axon TPU tunnel pins
+        # JAX_PLATFORMS without a host backend): run the tiny probe evals
+        # on the default device — one-time per cone dimension at build
+        import contextlib
+
+        dev_ctx = contextlib.nullcontext
     probes = _probe_indices(expand, reduce_dim)
 
     def barrier_val(red):
-        with jax.default_device(cpu):
+        with dev_ctx():
             return float(barrier_fn(jnp.asarray(expand(red))))
 
     def residual(red):
-        with jax.default_device(cpu):
+        with dev_ctx():
             s = jnp.asarray(expand(np.asarray(red, dtype=np.float64)))
             g = np.asarray(jax.grad(barrier_fn)(s))
         full = expand(np.asarray(red, dtype=np.float64)) + g
