@@ -91,10 +91,17 @@ def _use_pallas_dd(A):
     # inverse for chol-only callers, and lost XLA fusion) measurably LOSES
     # to the blocked kernels inside cone-oracle chains — doptimaldesign
     # 44.4 vs 69.5 it/s, polymin 39.3 vs 58.7 (solve A/B, round 3); at
-    # Schur sizes it wins big (linearopt 113.5 -> 198.3)
+    # Schur sizes it wins big (linearopt 113.5 -> 198.3).
+    # n <= 1536: the measured regime cap — the panel recursion inlines
+    # O((n/256)^2) dd kernel calls + f64 (f32x3-emulated) MXU updates into
+    # the program, and remote-compile wall grows superlinearly (observed
+    # >1h for a Schur-1584 model, r4); above the cap XLA's native chol
+    # compiles in seconds and its runtime cost is amortized by the
+    # n^3 work at those sizes.
     return (jax.default_backend() == "tpu"
             and not jnp.iscomplexobj(A) and A.ndim == 2
-            and A.dtype == jnp.float64 and A.shape[-1] >= 96)
+            and A.dtype == jnp.float64
+            and 96 <= A.shape[-1] <= 1536)
 
 
 def _auto_blocked_any(A):
