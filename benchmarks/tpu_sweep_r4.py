@@ -86,8 +86,6 @@ def stage_large(out):
         ("doptimaldesign_q100", examples.doptimaldesign,
          dict(q=100, p=300, n=600, n_max=60, use_logdet=True)),
         ("nearestpsd_100", examples.nearestpsd, dict(side=100)),
-        ("polymin_gp9", examples.polymin,
-         dict(poly="goldsteinprice", halfdeg=9)),
     ]
     for name, mod, params in jobs:
         if left() < 300:
@@ -173,8 +171,21 @@ def stage_manycone(out):
     out["manycone_twomatmul"] = emit("manycone", "two_matmul", row, t0)
 
 
+def stage_polymin(out):
+    if left() < 300:
+        return
+    t0 = time.time()
+    try:
+        row = run_once(examples.polymin,
+                       dict(poly="goldsteinprice", halfdeg=9), 10)
+    except Exception as e:  # noqa: BLE001
+        row = {"status": f"ERROR: {type(e).__name__}: {e}"}
+    out["polymin_gp9"] = emit("polymin", "polymin_gp9", row, t0)
+
+
 STAGES = {"relentr": stage_relentr, "large": stage_large,
-          "dd_ab": stage_dd_ab, "manycone": stage_manycone}
+          "dd_ab": stage_dd_ab, "manycone": stage_manycone,
+          "polymin": stage_polymin}
 
 
 def main():
