@@ -37,7 +37,11 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 os.environ["OMP_NUM_THREADS"] = "1"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# repo-local cache (relative to the bench.py cwd = repo root): /tmp does
+# not survive between builder and driver sessions (r03 evidence), the
+# repo workspace usually does
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import examples
 from hypatia_tpu import Solver
@@ -234,12 +238,18 @@ def main():
         from hypatia_tpu.parallel import batch as pbatch
         tm = dict(pbatch.LAST_TIMERS)
         device_s = tm.get("solve_s", wall)
-        return {"batch": nb, "optimal": n_opt,
-                "total_iters": tot_iters, "solve_s": round(wall, 3),
-                "agg_iters_per_s": round(tot_iters / wall, 1),
-                "device_solve_s": round(device_s, 3),
-                "device_agg_iters_per_s": round(tot_iters / device_s, 1),
-                "staging_s": round(tm.get("staging_s", 0.0), 3)}
+        row = {"batch": nb, "optimal": n_opt,
+               "total_iters": tot_iters, "solve_s": round(wall, 3),
+               "agg_iters_per_s": round(tot_iters / wall, 1),
+               "device_solve_s": round(device_s, 3),
+               "device_agg_iters_per_s": round(tot_iters / device_s, 1),
+               "staging_s": round(tm.get("staging_s", 0.0), 3)}
+        # per-stage staging breakdown (host QR vs packed upload etc.) so
+        # the bench record localizes any staging regression
+        for k, v in sorted(tm.items()):
+            if k.startswith("stage_") or k == "finalize_s":
+                row[k] = round(v, 3)
+        return row
     import sys
 
     # wall-clock budget: the driver kills the bench at an unknown timeout

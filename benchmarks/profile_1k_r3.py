@@ -56,7 +56,7 @@ def main():
         lambda G, h: G.T @ (h[:, None] * G), (GQ2, H))
     eye = jnp.eye(lhs.shape[-1], dtype=lhs.dtype)
     d["schur_matvec_solve_ms"] = _phase_ms(
-        lambda inv, r: inv @ r, (sys["schur_inv"], eye[:, 0]))
+        lambda inv, r: inv @ r, (lhs_sys["schur_inv"], eye[:, 0]))
     print("upfact decomposition:", json.dumps(
         {k: round(v, 3) for k, v in d.items()}), flush=True)
 
