@@ -263,12 +263,63 @@ def main():
     def remaining():
         return budget_s - (time.time() - bench_t0)
 
+    # HARD deadline watchdog: the budget above only gates config *starts* —
+    # an uncached config may then sit in a 10-60+ min remote compile, and
+    # the driver kills the whole bench at an unknown ~900 s timeout
+    # (round-2 record: rc=124, no JSON line at all). At the hard deadline
+    # the watchdog emits the JSON line with every completed config and
+    # exits 0, so the record is ALWAYS parseable; in-flight work is
+    # reported as such.
+    import threading
+
+    per_config = {}
+    cpu_base_box = {}
+    emit_lock = threading.Lock()
+    emitted = []
+
+    def emit_result():
+        with emit_lock:
+            if emitted:
+                return None
+            emitted.append(True)
+        cpu_base = cpu_base_box.get("res", {"iters_per_s": None,
+                                            "error": "not run"})
+        primary = per_config.get("linearopt_1k", {})
+        iters_per_s = primary.get("iters_per_s", 0.0) or 0.0
+        base = cpu_base.get("iters_per_s")
+        result = {
+            "metric": "linearopt_lp_2000_ipm_iterations_per_s",
+            "value": iters_per_s,
+            "unit": "iters/s",
+            "vs_baseline": (round(iters_per_s / base, 3) if base else None),
+            "cpu_singlethread_baseline": cpu_base,
+            "configs": dict(per_config),
+        }
+        print(json.dumps(result), flush=True)
+        return result
+
+    def _watchdog():
+        for name, _, _ in jobs:
+            per_config.setdefault(
+                name, {"status": "SKIPPED: hard deadline (in flight or "
+                                 "not started)"})
+        print("[bench] HARD deadline hit: emitting partial record",
+              file=sys.stderr, flush=True)
+        emit_result()
+        sys.stderr.flush()
+        os._exit(0)
+
+    hard_deadline_s = float(os.environ.get("BENCH_HARD_DEADLINE_S",
+                                           str(budget_s + 300.0)))
+    watchdog = threading.Timer(hard_deadline_s, _watchdog)
+    watchdog.daemon = True
+
     # batch32 runs BEFORE the compile-heavy doptimaldesign (skip priority)
     jobs = ([(n, m, p) for n, m, p in configs[:-1]]
             + [("batch32_lp128", None, None)]
             + [configs[-1]]) if len(configs) > 1 else list(configs)
 
-    per_config = {}
+    watchdog.start()
     for name, mod, params in jobs:
         if remaining() < 60:
             per_config[name] = {"status": "SKIPPED: bench budget exhausted"}
@@ -301,23 +352,12 @@ def main():
 
     print("[bench] cpu single-thread baseline ...", file=sys.stderr,
           flush=True)
-    cpu_base = measure_cpu_baseline(
+    cpu_base_box["res"] = measure_cpu_baseline(
         timeout=max(60, min(900, remaining())))
-    print(f"[bench] cpu baseline: {cpu_base}", file=sys.stderr, flush=True)
-
-    primary = per_config.get("linearopt_1k", {})
-    iters_per_s = primary.get("iters_per_s", 0.0)
-    base = cpu_base.get("iters_per_s")
-    result = {
-        "metric": "linearopt_lp_2000_ipm_iterations_per_s",
-        "value": iters_per_s,
-        "unit": "iters/s",
-        "vs_baseline": (round(iters_per_s / base, 3)
-                        if base else None),
-        "cpu_singlethread_baseline": cpu_base,
-        "configs": per_config,
-    }
-    print(json.dumps(result))
+    print(f"[bench] cpu baseline: {cpu_base_box['res']}", file=sys.stderr,
+          flush=True)
+    watchdog.cancel()
+    emit_result()
 
 
 if __name__ == "__main__":
