@@ -113,6 +113,38 @@ def _solve_all_jit(ctx, iter_limit, check_every, data_b, pt_b, conv_tols,
     return out["pt"], status, out["it"]
 
 
+@jax.jit
+def _derive_qr_jit(A_b, G_b, b_b, c_b, h_b, z_b, s_b):
+    """Device-side batched QR staging (p > 0): one vmapped program computes
+    every host-derived quantity the qrchol path needs (Ap_Q/Ap_R/Ap_Rinv/
+    GQ1/GQ2) plus the QR-least-squares initial x and y — the same QR-based
+    initialization the single-instance solver uses (`process.py`
+    find_initial_x/find_initial_y). Replaces the per-instance host
+    scipy QR + lstsq loops AND shrinks the packed upload to the raw
+    (c, A, b, G, h) data: the derived arrays were ~60% of the staged
+    bytes over the remote-tunnel device (VERDICT r3 item 4)."""
+    p = A_b.shape[1]
+
+    def one(A, G, b, c, h, z, s):
+        Q, R_full = jnp.linalg.qr(A.T, mode="complete")
+        R = R_full[:p, :p]
+        GQ = G @ Q
+        eye_p = jnp.eye(p, dtype=A.dtype)
+        Rinv = jax.scipy.linalg.solve_triangular(R, eye_p, lower=False)
+        # initial x: argmin ||[A;G] x - [b; h - s]|| via reduced QR
+        AG = jnp.concatenate([A, G], axis=0)
+        rhs = jnp.concatenate([b, h - s])
+        Qa, Ra = jnp.linalg.qr(AG, mode="reduced")
+        x = jax.scipy.linalg.solve_triangular(Ra, Qa.T @ rhs, lower=False)
+        # initial y: argmin ||A' y + c + G' z|| reusing A' = Q[:, :p] R
+        rhs_y = -c - G.T @ z
+        y = jax.scipy.linalg.solve_triangular(R, Q[:, :p].T @ rhs_y,
+                                              lower=False)
+        return Q, R, Rinv, GQ[:, :p], GQ[:, p:], x, y
+
+    return jax.vmap(one)(A_b, G_b, b_b, c_b, h_b, z_b, s_b)
+
+
 #: phase timers of the last solve_batch call (host staging vs device
 #: solve), for throughput accounting in the benchmarks
 LAST_TIMERS = {}
@@ -182,7 +214,17 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
 
     data_b = {k: stack(k) for k in ("c", "A", "b", "G", "h")}
     _mark("stack")
-    if syssolver == "qrchol":
+    import os as _os
+
+    # device staging: compute the QR-derived data and initial x/y on
+    # device (one vmapped jit) instead of per-instance host scipy loops —
+    # and upload only the raw data. Single-process qrchol with p>0 only;
+    # opt out with HYPATIA_TPU_BATCH_DEVICE_STAGE=0.
+    device_stage = (
+        mesh is None and syssolver == "qrchol" and m0.p > 0
+        and _os.environ.get("HYPATIA_TPU_BATCH_DEVICE_STAGE", "1").lower()
+        not in ("0", "false"))
+    if syssolver == "qrchol" and not device_stage:
         import scipy.linalg
 
         if m0.p > 0:
@@ -231,21 +273,26 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
             init_s[:, start:start + dim] = pt0
             init_z[:, start:start + dim] = -g0
 
-    init_x = np.zeros((nb, m0.n))
-    init_y = np.zeros((nb, m0.p))
-    for i in range(nb):
-        AG = np.vstack([data_b["A"][i], data_b["G"][i]])
-        rhs = np.concatenate([data_b["b"][i], data_b["h"][i] - init_s[i]])
-        init_x[i], *_ = np.linalg.lstsq(AG, rhs, rcond=None)
-        if m0.p:
-            rhs_y = -data_b["c"][i] - data_b["G"][i].T @ init_z[i]
-            init_y[i], *_ = np.linalg.lstsq(data_b["A"][i].T, rhs_y,
-                                            rcond=None)
+    if device_stage:
+        pt_b = {"z": init_z, "s": init_s,
+                "tau": np.ones(nb), "kap": np.ones(nb)}
+    else:
+        init_x = np.zeros((nb, m0.n))
+        init_y = np.zeros((nb, m0.p))
+        for i in range(nb):
+            AG = np.vstack([data_b["A"][i], data_b["G"][i]])
+            rhs = np.concatenate([data_b["b"][i],
+                                  data_b["h"][i] - init_s[i]])
+            init_x[i], *_ = np.linalg.lstsq(AG, rhs, rcond=None)
+            if m0.p:
+                rhs_y = -data_b["c"][i] - data_b["G"][i].T @ init_z[i]
+                init_y[i], *_ = np.linalg.lstsq(data_b["A"][i].T, rhs_y,
+                                                rcond=None)
 
-    pt_b = {
-        "x": init_x, "y": init_y, "z": init_z, "s": init_s,
-        "tau": np.ones(nb), "kap": np.ones(nb),
-    }
+        pt_b = {
+            "x": init_x, "y": init_y, "z": init_z, "s": init_s,
+            "tau": np.ones(nb), "kap": np.ones(nb),
+        }
     _mark("init")
 
     def _packed_put(trees):
@@ -295,6 +342,15 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
         pt_b = multihost.global_put(pt_b, shard)
     else:
         data_b, pt_b = _packed_put((data_b, pt_b))
+        if device_stage:
+            Q, R, Rinv, GQ1, GQ2, x_b, y_b = _derive_qr_jit(
+                data_b["A"], data_b["G"], data_b["b"], data_b["c"],
+                data_b["h"], pt_b["z"], pt_b["s"])
+            jax.block_until_ready(y_b)  # staging/solve timer attribution
+            data_b = dict(data_b, Ap_Q=Q, Ap_R=R, Ap_Rinv=Rinv,
+                          GQ1=GQ1, GQ2=GQ2)
+            pt_b = dict(pt_b, x=x_b, y=y_b)
+            _mark("derive_device")
 
     # conv_tols and tols are ARRAY arguments of the (module-level, cached)
     # jitted programs below — NOT Python-float closure constants. Baking
