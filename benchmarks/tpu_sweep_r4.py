@@ -86,6 +86,10 @@ def stage_large(out):
         ("doptimaldesign_q100", examples.doptimaldesign,
          dict(q=100, p=300, n=600, n_max=60, use_logdet=True)),
         ("nearestpsd_100", examples.nearestpsd, dict(side=100)),
+        # side-100 hit a compile-helper OOM (9.7 MB MLIR program; see
+        # BASELINE.md round-4 late-session note) — side-60 sizes the
+        # family's MXU story while the program-size fix is pending
+        ("nearestpsd_60", examples.nearestpsd, dict(side=60)),
     ]
     for name, mod, params in jobs:
         if left() < 300:
