@@ -220,8 +220,13 @@ def solve_batch(models, solver_options=None, mesh=None, iter_limit=250):
     # device (one vmapped jit) instead of per-instance host scipy loops —
     # and upload only the raw data. Single-process qrchol with p>0 only;
     # opt out with HYPATIA_TPU_BATCH_DEVICE_STAGE=0.
+    # p + q >= n guard (ADVICE r4): the device path computes initial x via
+    # reduced QR of the (p+q, n) stack [A;G]; when n > p+q that R factor
+    # is singular/non-square — fall back to the host lstsq path, which
+    # handles underdetermined and rank-deficient stacks.
     device_stage = (
         mesh is None and syssolver == "qrchol" and m0.p > 0
+        and m0.p + m0.q >= m0.n
         and _os.environ.get("HYPATIA_TPU_BATCH_DEVICE_STAGE", "1").lower()
         not in ("0", "false"))
     if syssolver == "qrchol" and not device_stage:

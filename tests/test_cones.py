@@ -93,6 +93,7 @@ def test_initial_point(cone):
     assert bool(cone.dual_feas(-g))
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("cone", oracle_cones(), ids=repr)
 def test_barrier_identities(cone):
     rng = np.random.default_rng(1)

@@ -14,6 +14,17 @@ CASES = [
     for params in mod.MINIMAL
 ]
 
+# quick smoke tier (`pytest -m quick`): the FIRST minimal instance of each
+# family — one end-to-end solve per family in minutes, vs the full
+# minimal sweep for long runs
+_seen_families = set()
+_PARAMS = []
+for _i, (_name, _params) in enumerate(CASES):
+    _marks = [pytest.mark.quick] if _name not in _seen_families else []
+    _seen_families.add(_name)
+    _PARAMS.append(pytest.param(_name, _params, id=f"{_name}-{_i}",
+                                marks=_marks))
+
 _counter = {"n": 0}
 
 
@@ -30,8 +41,7 @@ def _periodic_cache_clear():
         jax.clear_caches()
 
 
-@pytest.mark.parametrize("name,params", CASES,
-                         ids=[f"{n}-{i}" for i, (n, _) in enumerate(CASES)])
+@pytest.mark.parametrize("name,params", _PARAMS)
 def test_minimal_instance(name, params):
     # reference example-test protocol uses relaxed tolerances
     # (`test/runexamplestests.jl` + `runnativetests.jl:14-18`

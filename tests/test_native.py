@@ -66,6 +66,7 @@ ALL_CONFIGS = [
 ]
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("opts", ALL_CONFIGS,
                          ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()))
 def test_lp_small(opts):
