@@ -229,11 +229,23 @@ def main():
             if emitted:
                 return None
             emitted.append(True)
-        cpu_base = cpu_base_box.get("res")
-        if not (cpu_base and cpu_base.get("iters_per_s")):
-            fresh_err = (cpu_base or {}).get("error", "not finished")
-            cpu_base = load_committed_baseline()
-            cpu_base["fresh_measurement"] = fresh_err
+        # conservative denominator: the FASTEST available single-thread
+        # measurement.  The in-run measure shares the host with the TPU
+        # process's staging/dispatch work, so it can read LOW (2.99 it/s
+        # observed vs 5.49 committed), which would inflate vs_baseline —
+        # prefer the larger of (fresh, committed), report both.
+        fresh = cpu_base_box.get("res")
+        committed = load_committed_baseline()
+        cands = [c for c in (fresh, committed) if c and c.get("iters_per_s")]
+        if cands:
+            cpu_base = dict(max(cands, key=lambda c: c["iters_per_s"]))
+            cpu_base["fresh_measurement"] = (
+                fresh.get("iters_per_s", fresh.get("error"))
+                if fresh else "not finished")
+        else:
+            cpu_base = {"iters_per_s": None,
+                        "error": (fresh or {}).get("error", "not finished"),
+                        "committed_error": committed.get("error")}
         primary = per_config.get("linearopt_1k", {})
         iters_per_s = primary.get("iters_per_s", 0.0) or 0.0
         base = cpu_base.get("iters_per_s")
@@ -397,8 +409,11 @@ def main():
     print("[bench] cpu baseline: "
           + str(res if res else "still running; using committed fallback"),
           file=sys.stderr, flush=True)
-    if res and res.get("iters_per_s"):
-        # refresh the committed fallback record for the next run
+    committed_now = load_committed_baseline().get("iters_per_s") or 0.0
+    if res and (res.get("iters_per_s") or 0.0) > committed_now:
+        # refresh the committed fallback record ONLY UPWARD: concurrent
+        # TPU host work depresses the in-run measure, and a low committed
+        # denominator would inflate future vs_baseline claims
         try:
             with open(_BASELINE_FILE, "w") as f:
                 json.dump({"iters_per_s": res["iters_per_s"],

@@ -53,6 +53,38 @@ class PosSemidefTriSparse(Cone):
         self._kinds = np.asarray(kinds)
         self._rows = np.asarray(rows)
         self._cols = np.asarray(cols)
+        # Precompute every derived index/mask/weight array ONCE and reuse
+        # the SAME objects at every traced call site: jax dedups closure
+        # constants by object identity, so re-deriving (e.g. `kinds == 0`)
+        # per oracle call embedded a fresh O(dim) constant each time —
+        # ~540 copies and 4 of the 5.1 MB in the nearestpsd side-100
+        # program (the compile-helper OOM of BASELINE.md r4).
+        irt2 = 1.0 / np.sqrt(2.0)
+        self._diag = self._kinds == 0
+        self._im = self._kinds == 2
+        self._not_im = self._kinds != 2
+        self._offd = self._kinds != 0
+        self._rows_o = self._rows[self._offd]
+        self._cols_o = self._cols[self._offd]
+        self._w_unpack = np.where(self._diag, 1.0, irt2)
+        self._w_pack = np.where(self._diag, 1.0, np.sqrt(2.0))
+        self._rows_col = self._rows[:, None]
+        self._cols_col = self._cols[:, None]
+        self._rows_row = self._rows[None, :]
+        self._cols_row = self._cols[None, :]
+        self._w_hess = np.where(self._diag, irt2, 1.0)
+        self._w_hess_col = self._w_hess[:, None]
+        self._w_hess_row = self._w_hess[None, :]
+        self._const_cache = {}
+
+    def _const(self, name, dtype):
+        """dtype-cast view of a precomputed numpy constant, cached so every
+        traced call site reuses the SAME object (np.astype copies, and a
+        fresh object per call defeats jax's identity-based constant dedup)."""
+        key = (name, np.dtype(dtype).name)
+        if key not in self._const_cache:
+            self._const_cache[key] = getattr(self, name).astype(dtype)
+        return self._const_cache[key]
 
     def params_key(self):
         return (self.side, self.row_idxs.tobytes(), self.col_idxs.tobytes(),
@@ -68,36 +100,32 @@ class PosSemidefTriSparse(Cone):
         return pt
 
     def _mat(self, s):
-        irt2 = 1.0 / jnp.sqrt(jnp.asarray(2.0, dtype=s.dtype))
-        weights = jnp.where(self._kinds == 0, 1.0, irt2)
-        vals = s * weights
+        vals = s * self._const('_w_unpack', s.dtype)
         dtype = (jnp.complex64 if s.dtype == jnp.float32 else
                  jnp.complex128) if self.is_complex else s.dtype
         M = jnp.zeros((self.side, self.side), dtype=dtype)
         if self.is_complex:
-            re = jnp.where(self._kinds != 2, vals, 0.0)
-            im = jnp.where(self._kinds == 2, vals, 0.0)
+            re = jnp.where(self._not_im, vals, 0.0)
+            im = jnp.where(self._im, vals, 0.0)
             M = M.at[self._rows, self._cols].add(re - 1j * im)
-            offd = self._kinds != 0
-            M = M.at[self._cols[offd], self._rows[offd]].add(
+            offd = self._offd
+            M = M.at[self._cols_o, self._rows_o].add(
                 re[offd] + 1j * im[offd])
         else:
             M = M.at[self._rows, self._cols].add(vals)
-            offd = self._kinds != 0
-            M = M.at[self._cols[offd], self._rows[offd]].add(vals[offd])
+            M = M.at[self._cols_o, self._rows_o].add(vals[self._offd])
         return M
 
     def _pack(self, M):
         """Adjoint of `_mat`: project a symmetric/Hermitian matrix onto the
         pattern coordinates with the svec scaling (so that
         <pack(M), s> = <M, mat(s)> for all s)."""
-        rt2 = jnp.sqrt(jnp.asarray(2.0, dtype=jnp.real(M).dtype))
         vals_rc = M[self._rows, self._cols]
-        diag = self._kinds == 0
-        im = self._kinds == 2
-        out = jnp.where(diag, jnp.real(vals_rc), rt2 * jnp.real(vals_rc))
+        rdt = jnp.real(vals_rc).dtype
+        out = self._const('_w_pack', rdt) * jnp.real(vals_rc)
         if self.is_complex:
-            out = jnp.where(im, -rt2 * jnp.imag(vals_rc), out)
+            rt2 = jnp.sqrt(jnp.asarray(2.0, dtype=rdt))
+            out = jnp.where(self._im, -rt2 * jnp.imag(vals_rc), out)
         return out
 
     def barrier(self, s):
@@ -126,15 +154,17 @@ class PosSemidefTriSparse(Cone):
             # entries p=(a,b), q=(c,d), with w=1/sqrt(2) on the diagonal —
             # O(dim^2) gathers instead of O(dim * side^3) products
             Z = Xinv
-            a, b = self._rows, self._cols
-            w = jnp.where(self._kinds == 0,
-                          1.0 / jnp.sqrt(jnp.asarray(2.0, dtype=s.dtype)),
-                          jnp.ones((), dtype=s.dtype))
-            Zac = Z[a[:, None], a[None, :]]
-            Zbd = Z[b[:, None], b[None, :]]
-            Zad = Z[a[:, None], b[None, :]]
-            Zbc = Z[b[:, None], a[None, :]]
-            H = (w[:, None] * w[None, :]) * (Zac * Zbd + Zad * Zbc)
+            Zac = Z[self._rows_col, self._rows_row]
+            Zbd = Z[self._cols_col, self._cols_row]
+            Zad = Z[self._rows_col, self._cols_row]
+            Zbc = Z[self._cols_col, self._rows_row]
+            # keep the weight outer product TRACED (1-D constants times the
+            # traced sum): a numpy w[:,None]*w[None,:] constant-folds to a
+            # dense dim x dim f64 literal per inlined call site (5 x 2.8 MB
+            # at side 60)
+            w_col = self._const('_w_hess_col', s.dtype)
+            w_row = self._const('_w_hess_row', s.dtype)
+            H = w_col * (Zac * Zbd + Zad * Zbc) * w_row
         else:
             cols = jax.vmap(
                 lambda e: self._pack(Xinv @ self._mat(e) @ Xinv),
@@ -254,14 +284,15 @@ class _StructuredPSDSparse(PosSemidefTriSparse):
         exact in the real case, an SPD approximation (preconditioner
         quality only) in the complex case."""
         zv = -g
-        diag_slots = np.zeros(self.side, dtype=int)
-        diag_slots[self._rows[self._kinds == 0]] = \
-            np.nonzero(self._kinds == 0)[0]
-        zd = zv[diag_slots]
+        if not hasattr(self, "_diag_slots"):
+            diag_slots = np.zeros(self.side, dtype=int)
+            diag_slots[self._rows[self._diag]] = np.nonzero(self._diag)[0]
+            self._diag_slots = diag_slots
+        zd = zv[self._diag_slots]
         cross = zd[self._rows] * zd[self._cols]
         half = jnp.asarray(0.5, dtype=zv.dtype)
-        offd = self._kinds != 0
-        dvals = jnp.where(offd, cross + half * zv * zv, zd[self._rows] ** 2)
+        dvals = jnp.where(self._offd, cross + half * zv * zv,
+                          zd[self._rows] ** 2)
         return jnp.maximum(dvals, jnp.finfo(zv.dtype).tiny)
 
     def _cg_inv_hess_prod(self, matvec, diag, arr):
