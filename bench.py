@@ -357,6 +357,30 @@ def main():
                 row[k] = round(v, 3)
         return row
 
+    # heterogeneous batch: mixed structures bucketed by solve_many — the
+    # reference benchmark protocol solves DIVERSE instances
+    # (`examples/setup.jl:93-128`), not 32 identical LPs
+    def run_hetero():
+        from hypatia_tpu.parallel import solve_many
+        def mk(seed0):
+            return ([examples.linearopt.build(m=48, n=96, seed=seed0 + s)
+                     for s in range(8)]
+                    + [examples.linearopt.build(m=64, n=128, seed=seed0 + s)
+                       for s in range(8)]
+                    + [examples.portfolio.build(num_stocks=50,
+                                                seed=seed0 + s)
+                       for s in range(8)])
+        solve_many(mk(1000), solver_options=dict(default_tol_relax=10))
+        models = mk(0)
+        t0 = time.time()
+        res = solve_many(models, solver_options=dict(default_tol_relax=10))
+        wall = time.time() - t0
+        tot_iters = sum(r["num_iters"] for r in res)
+        return {"batch": len(models), "buckets": 3,
+                "optimal": sum(r["status"] == "Optimal" for r in res),
+                "total_iters": tot_iters, "solve_s": round(wall, 3),
+                "agg_iters_per_s": round(tot_iters / wall, 1)}
+
     # wall-clock budget: gates config *starts*; the process-start watchdog
     # above is the hard stop.  With a primed persistent compile cache every
     # config runs in seconds and neither ever binds.
@@ -366,9 +390,11 @@ def main():
     def remaining():
         return budget_s - (time.time() - bench_t0)
 
-    # batch32 runs BEFORE the compile-heavy doptimaldesign (skip priority)
+    # batch32/hetero24 run BEFORE the compile-heavy doptimaldesign (skip
+    # priority)
     jobs = ([(n, m, p) for n, m, p in configs[:-1]]
-            + [("batch32_lp128", None, None)]
+            + [("batch32_lp128", None, None),
+               ("hetero24_mixed", None, None)]
             + [configs[-1]]) if len(configs) > 1 else list(configs)
     job_names_box["names"] = [name for name, _, _ in jobs]
 
@@ -382,6 +408,8 @@ def main():
         try:
             if name == "batch32_lp128":
                 per_config[name] = run_batch()
+            elif name == "hetero24_mixed":
+                per_config[name] = run_hetero()
             else:
                 # phase profiling compiles ~20 extra program shapes
                 # (minutes of remote-compile wall on the tunneled TPU) —
