@@ -7,10 +7,9 @@ matrix negative-entropy separable spectral cone).
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 from hypatia_tpu import Model, cones
-from hypatia_tpu.ops.svec import smat_to_svec, svec_length
+from hypatia_tpu.ops.svec import smat_to_svec_np, svec_length
 
 
 def build(d: int, seed: int = 1):
@@ -20,8 +19,8 @@ def build(d: int, seed: int = 1):
     P0 = P0 @ P0.T + 0.5 * np.eye(d)
     P0 *= d / np.trace(P0)
     vec_dim = svec_length(d)
-    P0_vec = np.asarray(smat_to_svec(jnp.asarray(P0)))
-    tr_vec = np.asarray(smat_to_svec(jnp.asarray(np.eye(d))))
+    P0_vec = smat_to_svec_np(P0)
+    tr_vec = smat_to_svec_np(np.eye(d))
 
     # vars (epi, svec P)
     n = 1 + vec_dim

@@ -6,10 +6,9 @@ formulations; vars (t, np) with hypograph variable t).
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 from hypatia_tpu import Model, cones
-from hypatia_tpu.ops.svec import smat_to_svec, svec_length
+from hypatia_tpu.ops.svec import smat_to_svec_np, svec_length
 
 
 def build(q: int, p: int, n: int, n_max: int, use_logdet: bool = True,
@@ -36,7 +35,7 @@ def build(q: int, p: int, n: int, n_max: int, use_logdet: bool = True,
     G_det = np.zeros((dimvec, p))
     for k in range(p):
         M = -np.outer(V[:, k], V[:, k])
-        G_det[:, k] = np.asarray(smat_to_svec(jnp.asarray(M)))
+        G_det[:, k] = smat_to_svec_np(M)
 
     if use_logdet:
         cone_list.append(cones.HypoPerLogdetTri(dimvec + 2))

@@ -9,11 +9,11 @@ with Q1 = B rho B', Q2 = I_nb (x) ptr_1(Q1), Q3 = ptr_2(Q1).
 Parity: `examples/entanglementassisted/JuMP.jl`.
 """
 
-import jax.numpy as jnp
 import numpy as np
 
 from hypatia_tpu import Model, cones
-from hypatia_tpu.ops.svec import smat_to_svec, svec_to_smat, svec_length
+from hypatia_tpu.ops.svec import (smat_to_svec_np, svec_to_smat_np,
+                                   svec_length)
 
 
 def _ptrace(Q, sys, dims):
@@ -45,13 +45,13 @@ def build(nb: int = 2, ne: int = 2, gamma: float = 0.2):
     for k in range(sr):
         e = np.zeros(sr)
         e[k] = 1.0
-        rho_k = np.asarray(svec_to_smat(jnp.asarray(e)))
+        rho_k = svec_to_smat_np(e)
         Q1 = B @ rho_k @ B.T
         Q2 = np.kron(np.eye(nb), _ptrace(Q1, 0, [nb, ne]))
         Q3 = _ptrace(Q1, 1, [nb, ne])
-        M1[:, k] = np.asarray(smat_to_svec(jnp.asarray(Q1)))
-        M2[:, k] = np.asarray(smat_to_svec(jnp.asarray(Q2)))
-        M3[:, k] = np.asarray(smat_to_svec(jnp.asarray(Q3)))
+        M1[:, k] = smat_to_svec_np(Q1)
+        M2[:, k] = smat_to_svec_np(Q2)
+        M3[:, k] = smat_to_svec_np(Q3)
 
     # vars: (svec rho, cond_epi, qe_epi)
     nv = sr + 2

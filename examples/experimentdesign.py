@@ -8,10 +8,9 @@ Parity: `examples/experimentdesign/JuMP.jl` (native re-formulation).
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 from hypatia_tpu import Model, cones
-from hypatia_tpu.ops.svec import smat_to_svec, svec_length
+from hypatia_tpu.ops.svec import smat_to_svec_np, svec_length
 
 
 _SSF = {
@@ -32,7 +31,7 @@ def build(q: int = 3, p: int = 8, k: int = None, ssf: str = "inv",
     G_det = np.zeros((vec_dim, p))
     for j in range(p):
         M = -np.outer(V[:, j], V[:, j])
-        G_det[:, j] = np.asarray(smat_to_svec(jnp.asarray(M)))
+        G_det[:, j] = smat_to_svec_np(M)
 
     # vars (epi, x)
     n = 1 + p

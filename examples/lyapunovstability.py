@@ -7,14 +7,13 @@ formulation, native re-formulation).
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 from hypatia_tpu import Model, cones
-from hypatia_tpu.ops.svec import smat_to_svec, svec_length
+from hypatia_tpu.ops.svec import smat_to_svec_np, svec_length
 
 
 def _svec(W):
-    return np.asarray(smat_to_svec(jnp.asarray(W)))
+    return smat_to_svec_np(W)
 
 
 def build(num_rows: int = 3, seed: int = 1):
@@ -50,12 +49,12 @@ def build(num_rows: int = 3, seed: int = 1):
     G2[:, 0] = -block_svec(-gamma**2 * np.eye(m), np.zeros((m, m)), np.eye(m))
     # coefficients of P entries: for each svec basis element E of P:
     # T11 = -A'E - EA - alpha E, T12 = -E
-    from hypatia_tpu.ops.svec import svec_to_smat
+    from hypatia_tpu.ops.svec import svec_to_smat_np
 
     for j in range(pv):
         e = np.zeros(pv)
         e[j] = 1.0
-        E = np.asarray(svec_to_smat(jnp.asarray(e)))
+        E = svec_to_smat_np(e)
         T11 = -A.T @ E - E @ A - alpha * E
         G2[:, 1 + j] = -block_svec(T11, -E, np.zeros((m, m)))
 

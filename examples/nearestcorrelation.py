@@ -5,11 +5,10 @@ min y  s.t.  diag(X) = 1,  (y, svec X, svec M) in EpiTrRelEntropyTri
 `examples/nearestcorrelation/JuMP.jl` (cvxquad adaptation).
 """
 
-import jax.numpy as jnp
 import numpy as np
 
 from hypatia_tpu import Model, cones
-from hypatia_tpu.ops.svec import smat_to_svec, svec_length
+from hypatia_tpu.ops.svec import smat_to_svec_np, svec_length
 
 
 def build(side: int = 2, seed: int = 1):
@@ -17,7 +16,7 @@ def build(side: int = 2, seed: int = 1):
     M = rng.standard_normal((side, side))
     M = M @ M.T
     d = svec_length(side)
-    m_vec = np.asarray(smat_to_svec(jnp.asarray(M)))
+    m_vec = smat_to_svec_np(M)
 
     # vars: (y, x_vec)
     nv = 1 + d

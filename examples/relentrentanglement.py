@@ -8,18 +8,18 @@ using the quantum relative entropy cone with V = Tau (variable), W = rho
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 from hypatia_tpu import Model, cones
-from hypatia_tpu.ops.svec import smat_to_svec, svec_to_smat, svec_length
+from hypatia_tpu.ops.svec import (smat_to_svec_np, svec_to_smat_np,
+                                   svec_length)
 
 
 def _svec(W):
-    return np.asarray(smat_to_svec(jnp.asarray(W)))
+    return smat_to_svec_np(W)
 
 
 def _smat(v):
-    return np.asarray(svec_to_smat(jnp.asarray(v)))
+    return svec_to_smat_np(v)
 
 
 def partial_transpose(Q, na, nb):

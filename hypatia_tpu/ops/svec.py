@@ -64,6 +64,28 @@ def svec_to_smat(v, scal: float = IRT2):
     return W
 
 
+def smat_to_svec_np(W, scal: float = RT2):
+    """NumPy smat_to_svec for host-side model building: examples that
+    called the jnp version eagerly paid a remote-compile/execute RPC per
+    call on the tunneled TPU backend (~24 s of the relentr bench build)."""
+    W = np.asarray(W)
+    rows, cols, is_diag = _svec_indices(W.shape[-1])
+    weights = np.where(is_diag, 1.0, scal)
+    return W[..., rows, cols] * weights
+
+
+def svec_to_smat_np(v, scal: float = IRT2):
+    """NumPy svec_to_smat (see smat_to_svec_np)."""
+    v = np.asarray(v)
+    side = svec_side(v.shape[-1])
+    rows, cols, is_diag = _svec_indices(side)
+    vals = v * np.where(is_diag, 1.0, scal)
+    W = np.zeros(v.shape[:-1] + (side, side), dtype=v.dtype)
+    W[..., rows, cols] = vals
+    W[..., cols, rows] = vals
+    return W
+
+
 # ---------------------------------------------------------------------------
 # complex Hermitian <-> real svec (side-d Hermitian -> real vector of dim d^2)
 # order per column j: for i<j interleaved (re, im) scaled off-diagonals, then
