@@ -20,11 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
-_p = os.environ.get("JAX_PLATFORMS")
-if _p:  # sitecustomize pins axon; honor an explicit platform override
-    jax.config.update("jax_platforms", _p.split(",")[0])
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if __name__ == "__main__":
+    # Only reconfigure the backend when run AS A SCRIPT: the session env
+    # pins JAX_PLATFORMS=axon, so doing this at import time silently moved
+    # an importing caller's intended-CPU run onto the single-client TPU
+    # (round-5 incident: a timed-out "CPU" diagnosis killed mid-compile
+    # wedged the device pool for ~15 minutes).
+    _p = os.environ.get("JAX_PLATFORMS")
+    if _p:  # sitecustomize pins axon; honor an explicit platform override
+        jax.config.update("jax_platforms", _p.split(",")[0])
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
