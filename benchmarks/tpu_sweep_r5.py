@@ -182,8 +182,60 @@ def stage_gp9(out):
     out["polymin_gp9"] = emit("gp9", "polymin_gp9", row, t0)
 
 
+def stage_manycone2(out):
+    """Well-posed 1000-cone instance (nx=1500): Optimal in 26 iters at
+    1.62 it/s on CPU (round-5 diagnosis — the nx=400 instance's
+    NearOptimal is slack-cone degeneracy, not a solver gap)."""
+    from benchmarks.manycone_r4 import build_manycone
+
+    if left() < 600:
+        return
+    t0 = time.time()
+    try:
+        model = build_manycone(nx=1500)
+        warm = build_manycone(nx=1500, seed=4)
+        for mdl in (warm, model):
+            s = Solver(verbose=False, fused=True, iter_limit=200,
+                       default_tol_relax=10)
+            s.load(mdl)
+            tt = time.time()
+            s.solve()
+            wall = time.time() - tt
+        st = s.timers.get("step", wall)
+        row = dict(status=s.get_status(), iters=s.get_num_iters(),
+                   solve_s=round(wall, 3),
+                   iters_per_s=round(s.get_num_iters() / max(st, 1e-9), 2))
+    except Exception as e:  # noqa: BLE001
+        row = {"status": f"ERROR: {type(e).__name__}: {e}"[:600]}
+    out["manycone_1000_nx1500"] = emit("manycone2", "nx1500", row, t0)
+
+
+def stage_ddoff_polymin(out):
+    """polymin tight-tolerance dd-off arm: CPU passes relax=1, TPU
+    (dd default-on) is NearOptimal at gap ~6e-8 — isolate the Pallas dd
+    factorization's contribution."""
+    if left() < 600:
+        return
+    os.environ["HYPATIA_TPU_NO_PALLAS_DD"] = "1"
+    jax.clear_caches()  # env read at trace time
+    try:
+        for relax in (1, 10):
+            t0 = time.time()
+            try:
+                row = run_once(examples.polymin,
+                               dict(poly="univariate_quartic"), relax)
+            except Exception as e:  # noqa: BLE001
+                row = {"status": f"ERROR: {type(e).__name__}: {e}"[:600]}
+            out[f"polymin_ddoff_relax{relax}"] = emit(
+                "ddoff", f"polymin_relax{relax}", row, t0)
+    finally:
+        os.environ.pop("HYPATIA_TPU_NO_PALLAS_DD", None)
+        jax.clear_caches()
+
+
 STAGES = {"tight": stage_tight, "dprofile": stage_dprofile,
           "nearestpsd": stage_nearestpsd, "manycone": stage_manycone,
+          "manycone2": stage_manycone2, "ddoff_polymin": stage_ddoff_polymin,
           "gp9": stage_gp9}
 
 
