@@ -15,11 +15,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-_p = os.environ.get("JAX_PLATFORMS")
-if _p:
-    jax.config.update("jax_platforms", _p.split(",")[0])
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if __name__ == "__main__":
+    # script-mode only: the session env pins JAX_PLATFORMS=axon, so doing
+    # this at import time would move an importing caller's run onto the
+    # single-client TPU (see manycone_r4.py round-5 incident note)
+    _p = os.environ.get("JAX_PLATFORMS")
+    if _p:
+        jax.config.update("jax_platforms", _p.split(",")[0])
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import examples
 from hypatia_tpu import Solver

@@ -23,11 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-_p = os.environ.get("JAX_PLATFORMS")
-if _p:  # sitecustomize pins axon; honor an explicit platform override
-    jax.config.update("jax_platforms", _p.split(",")[0])
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if __name__ == "__main__":
+    # script-mode only (see manycone_r4.py round-5 incident note)
+    _p = os.environ.get("JAX_PLATFORMS")
+    if _p:  # sitecustomize pins axon; honor an explicit platform override
+        jax.config.update("jax_platforms", _p.split(",")[0])
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import examples
 from hypatia_tpu import Solver

@@ -233,10 +233,36 @@ def stage_ddoff_polymin(out):
         jax.clear_caches()
 
 
+def stage_conelat(out):
+    """Per-cone-oracle latency table ON TPU (VERDICT r4 item 3: the CPU
+    table identified point_aux as the 5-50x dominator; this measures the
+    same oracles on-chip)."""
+    from hypatia_tpu import cones
+    from benchmarks.cone_latency_r5 import bench_cone
+
+    jobs = []
+    for side in (30, 100):
+        sd = side * (side + 1) // 2
+        jobs.append((f"possemideftri_{side}", cones.PosSemidefTri(sd)))
+    jobs.append(("sepspectral_mat_neglog_30",
+                 cones.EpiPerSepSpectralMatrix(cones.NegLogSSF(), 30)))
+    sd = 12 * 13 // 2
+    jobs.append(("epitrrelentropy_12", cones.EpiTrRelEntropyTri(2 * sd + 1)))
+    for name, cone in jobs:
+        if left() < 300:
+            return
+        t0 = time.time()
+        try:
+            row = bench_cone(name, cone)
+        except Exception as e:  # noqa: BLE001
+            row = {"status": f"ERROR: {type(e).__name__}: {e}"[:300]}
+        out[f"conelat_{name}"] = emit("conelat", name, row, t0)
+
+
 STAGES = {"tight": stage_tight, "dprofile": stage_dprofile,
           "nearestpsd": stage_nearestpsd, "manycone": stage_manycone,
           "manycone2": stage_manycone2, "ddoff_polymin": stage_ddoff_polymin,
-          "gp9": stage_gp9}
+          "conelat": stage_conelat, "gp9": stage_gp9}
 
 
 def main():
