@@ -390,12 +390,14 @@ def main():
     def remaining():
         return budget_s - (time.time() - bench_t0)
 
-    # batch32/hetero24 run BEFORE the compile-heavy doptimaldesign (skip
-    # priority)
+    # skip priority: batch32 before the compile-heavy doptimaldesign;
+    # hetero24 LAST — its three bucket programs may compile fresh, and a
+    # bonus row must never starve the seven certified configs
     jobs = ([(n, m, p) for n, m, p in configs[:-1]]
-            + [("batch32_lp128", None, None),
-               ("hetero24_mixed", None, None)]
-            + [configs[-1]]) if len(configs) > 1 else list(configs)
+            + [("batch32_lp128", None, None)]
+            + [configs[-1]]
+            + [("hetero24_mixed", None, None)]) if len(configs) > 1 \
+        else list(configs)
     job_names_box["names"] = [name for name, _, _ in jobs]
 
     for name, mod, params in jobs:
