@@ -259,10 +259,35 @@ def stage_conelat(out):
         out[f"conelat_{name}"] = emit("conelat", name, row, t0)
 
 
+def stage_bgetdir(out):
+    """Opt-in 2x2 batched direction-solve A/B (halves sequential depth of
+    the latency-bound solve chains; CPU A/B shows identical iterates)."""
+    jobs = [("doptimaldesign_q100", examples.doptimaldesign,
+             dict(q=100, p=300, n=600, n_max=60, use_logdet=True)),
+            ("linearopt_1k", examples.linearopt, dict(m=1000, n=2000)),
+            ("relentr", examples.relentrentanglement, dict(na=2, nb=2))]
+    os.environ["HYPATIA_TPU_BATCHED_GETDIR"] = "1"
+    jax.clear_caches()
+    try:
+        for name, mod, params in jobs:
+            if left() < 600:
+                return
+            t0 = time.time()
+            try:
+                row = run_once(mod, params, 10)
+            except Exception as e:  # noqa: BLE001
+                row = {"status": f"ERROR: {type(e).__name__}: {e}"[:600]}
+            out[f"bgetdir_{name}"] = emit("bgetdir", name, row, t0)
+    finally:
+        os.environ.pop("HYPATIA_TPU_BATCHED_GETDIR", None)
+        jax.clear_caches()
+
+
 STAGES = {"tight": stage_tight, "dprofile": stage_dprofile,
           "nearestpsd": stage_nearestpsd, "manycone": stage_manycone,
           "manycone2": stage_manycone2, "ddoff_polymin": stage_ddoff_polymin,
-          "conelat": stage_conelat, "gp9": stage_gp9}
+          "conelat": stage_conelat, "bgetdir": stage_bgetdir,
+          "gp9": stage_gp9}
 
 
 def main():

@@ -302,11 +302,41 @@ def step_combined(ctx, data, pt, residuals, res_norm_cutoff,
     getdir = lambda rhs: syssolvers.get_directions(
         ctx, data, iter_aux, sys, rhs, res_norm_cutoff)
 
-    dir_cent, rn1 = getdir(update_rhs_cent(ctx, iter_aux, pt))
-    dir_centadj, rn2 = getdir(update_rhs_centadj(ctx, iter_aux, pt, dir_cent))
-    dir_pred, rn3 = getdir(update_rhs_pred(ctx, iter_aux, residuals, pt))
-    dir_predadj, rn4 = getdir(update_rhs_predadj(ctx, iter_aux, pt, dir_pred))
-    worst_dir_res = jnp.max(jnp.stack([rn1, rn2, rn3, rn4]))
+    import os as _os
+    if _os.environ.get("HYPATIA_TPU_BATCHED_GETDIR", "0").lower() \
+            not in ("0", "false"):
+        # Opt-in 2x2 batched direction solves: (cent, pred) are
+        # independent, as are (centadj, predadj) given the first pair —
+        # vmapping each pair halves the sequential depth of the
+        # latency-bound solve/refinement chains AND halves the inlined
+        # program copies (4 -> 2).  Off by default: flipping the trace
+        # invalidates every cached TPU program (the A/B arm measures it).
+        def _stack2(a, b):
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.stack([x, y]), a, b)
+
+        def _unstack2(t):
+            return (jax.tree_util.tree_map(lambda x: x[0], t),
+                    jax.tree_util.tree_map(lambda x: x[1], t))
+
+        vget = jax.vmap(getdir)
+        d01, rn01 = vget(_stack2(update_rhs_cent(ctx, iter_aux, pt),
+                                 update_rhs_pred(ctx, iter_aux,
+                                                 residuals, pt)))
+        dir_cent, dir_pred = _unstack2(d01)
+        d23, rn23 = vget(_stack2(
+            update_rhs_centadj(ctx, iter_aux, pt, dir_cent),
+            update_rhs_predadj(ctx, iter_aux, pt, dir_pred)))
+        dir_centadj, dir_predadj = _unstack2(d23)
+        worst_dir_res = jnp.maximum(jnp.max(rn01), jnp.max(rn23))
+    else:
+        dir_cent, rn1 = getdir(update_rhs_cent(ctx, iter_aux, pt))
+        dir_centadj, rn2 = getdir(
+            update_rhs_centadj(ctx, iter_aux, pt, dir_cent))
+        dir_pred, rn3 = getdir(update_rhs_pred(ctx, iter_aux, residuals, pt))
+        dir_predadj, rn4 = getdir(
+            update_rhs_predadj(ctx, iter_aux, pt, dir_pred))
+        worst_dir_res = jnp.max(jnp.stack([rn1, rn2, rn3, rn4]))
 
     dirs = {"cent": dir_cent, "centadj": dir_centadj,
             "pred": dir_pred, "predadj": dir_predadj}
