@@ -126,8 +126,13 @@ def stage_dprofile(out):
                    iters_per_s=round(
                        s.get_num_iters()
                        / max(s.timers.get("step", 1e9), 1e-9), 2))
-        from hypatia_tpu.solvers.profile import profile_phases
-        row["phases"] = profile_phases(s)
+        if os.environ.get("SWEEP_PROFILE"):
+            # opt-in: profile_phases compiles ~10 scan-probe programs of
+            # the FULL iteration body — ~2 h of remote-compile wall at
+            # q=5652 (measured this round); the solve row above is the
+            # headline number
+            from hypatia_tpu.solvers.profile import profile_phases
+            row["phases"] = profile_phases(s)
     except Exception as e:  # noqa: BLE001
         row = {"status": f"ERROR: {type(e).__name__}: {e}"}
     out["doptimaldesign_q100_profile"] = emit("dprofile", "q100", row, t0)
