@@ -138,6 +138,21 @@ def stage_dprofile(out):
     out["doptimaldesign_q100_profile"] = emit("dprofile", "q100", row, t0)
 
 
+def stage_nearestpsd60(out):
+    """Largest sparse-PSD side that compiles on the remote helper
+    (side-100 still OOMs it at ~6 MB MLIR after the constant dedup);
+    1-thread CPU proxy measured round 5: 1.722 it/s (15 iters)."""
+    for name, params in [("nearestpsd_60", dict(side=60))]:
+        if left() < 600:
+            return
+        t0 = time.time()
+        try:
+            row = run_once(examples.nearestpsd, params, 10)
+        except Exception as e:  # noqa: BLE001
+            row = {"status": f"ERROR: {type(e).__name__}: {e}"[:600]}
+        out[name] = emit("nearestpsd60", name, row, t0)
+
+
 def stage_nearestpsd(out):
     for name, params in [("nearestpsd_100", dict(side=100))]:
         if left() < 600:
@@ -289,7 +304,8 @@ def stage_bgetdir(out):
 
 
 STAGES = {"tight": stage_tight, "dprofile": stage_dprofile,
-          "nearestpsd": stage_nearestpsd, "manycone": stage_manycone,
+          "nearestpsd": stage_nearestpsd,
+          "nearestpsd60": stage_nearestpsd60, "manycone": stage_manycone,
           "manycone2": stage_manycone2, "ddoff_polymin": stage_ddoff_polymin,
           "conelat": stage_conelat, "bgetdir": stage_bgetdir,
           "gp9": stage_gp9}
